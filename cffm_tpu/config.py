@@ -1,0 +1,227 @@
+"""Frozen dataclass configs for the five CFFM configurations.
+
+Covers SURVEY.md §1.2's config table (ref: BASELINE.json "configs").
+Reference hyperparameters were unavailable (empty mount, SURVEY.md §0),
+so defaults follow the CCPM/FFM family conventions and are pinned here
+as this framework's own ground truth; the torch-CPU oracle
+(oracle/torch_cffm.py) uses the same values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """CFFM model hyperparameters.
+
+    The cross construction is pluggable (SURVEY.md §1.1):
+      - "hadamard":    p_ij = e_i * e_j              (FM-style)
+      - "field_aware": p_ij = e_{i->j} * e_{j->i}    (FFM-style, namesake)
+    """
+
+    num_fields: int
+    vocab_sizes: Tuple[int, ...]  # per-field hash-bucket counts
+    embed_dim: int = 16
+    cross: str = "field_aware"  # "hadamard" | "field_aware"
+    conv_channels: Tuple[int, ...] = (64, 64)
+    conv_kernel: int = 3  # 1D kernel width along the embed-dim axis
+    conv_pool: int = 2  # max-pool factor along embed-dim after each conv
+    tower_hidden: Tuple[int, ...] = (256, 128)
+    num_dense: int = 0  # continuous features appended to the tower input
+    use_first_order: bool = True  # FM first-order linear term
+    compute_dtype: str = "bfloat16"  # matmul/conv activations dtype
+    param_dtype: str = "float32"
+
+    def __post_init__(self):
+        assert len(self.vocab_sizes) == self.num_fields
+        assert self.cross in ("hadamard", "field_aware")
+
+    @property
+    def num_pairs(self) -> int:
+        f = self.num_fields
+        return f * (f - 1) // 2
+
+    @property
+    def row_width(self) -> int:
+        """Embedding-table row width: d (hadamard) or F*d (field-aware)."""
+        if self.cross == "field_aware":
+            return self.num_fields * self.embed_dim
+        return self.embed_dim
+
+    @property
+    def total_vocab(self) -> int:
+        return int(sum(self.vocab_sizes))
+
+    @property
+    def conv_out_dim(self) -> int:
+        """Flattened conv-core output size fed to the tower."""
+        d = self.embed_dim
+        for _ in self.conv_channels:
+            d = d // self.conv_pool
+        assert d >= 1, "embed_dim too small for this many pool layers"
+        return d * (self.conv_channels[-1] if self.conv_channels else self.num_pairs)
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    """Dense tower/conv use optax; sparse tables use per-row updates
+    colocated with the shards (SURVEY.md §3, "Per-row sparse optimizer")."""
+
+    dense_optimizer: str = "adam"  # "adam" | "adagrad" | "sgd"
+    dense_lr: float = 1e-3
+    sparse_optimizer: str = "adagrad"  # "adagrad" | "adam" | "sgd"
+    sparse_lr: float = 1e-2
+    adagrad_init: float = 0.1  # initial accumulator value
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    eps: float = 1e-8
+    weight_decay: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "synthetic"  # synthetic | criteo | avazu | movielens
+    path: Optional[str] = None  # TSV/file location (None -> synthetic)
+    batch_size: int = 4096  # global batch size
+    shuffle_buffer: int = 1 << 14
+    num_train_steps: int = 1000
+    eval_every: int = 0  # 0 = eval only at the end
+    eval_batches: int = 32
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardingConfig:
+    """Mesh layout (SURVEY.md §3.1).
+
+    One flat device axis "data" carries both roles: the batch is
+    data-parallel over it AND embedding-table rows are mod-sharded over
+    it (DLRM-style model-parallel tables + DP dense). `table_shards`
+    ≤ #devices selects how many devices hold table shards.
+    """
+
+    data_axis: str = "data"
+    table_sharded: bool = False  # False -> tables replicated (1-chip cfgs)
+    id_capacity_factor: float = 2.0  # per-peer bucket slack for all-to-all
+    dedup: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    name: str
+    model: ModelConfig
+    optim: OptimizerConfig = OptimizerConfig()
+    data: DataConfig = DataConfig()
+    sharding: ShardingConfig = ShardingConfig()
+    log_every: int = 50
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every: int = 0  # steps; 0 = disabled
+
+
+# ---------------------------------------------------------------------------
+# The five named configs (SURVEY.md §1.2 / BASELINE.json "configs")
+# ---------------------------------------------------------------------------
+
+# Criteo-Kaggle: 13 integer features (bucketized to categorical) + 26
+# categorical = 39 fields.
+_CRITEO_FIELDS = 39
+# Integer features get small bucket vocabularies; categorical features get
+# hashed buckets.
+_CRITEO_VOCABS = tuple([64] * 13 + [100_000] * 26)
+
+# Avazu: 24 columns = id, click, hour + 21 features; hour is expanded to
+# (hour-of-day, day-of-week) -> 23 categorical fields.
+_AVAZU_FIELDS = 23
+_AVAZU_VOCABS = tuple([32, 8] + [50_000] * 21)
+
+# MovieLens-1M: user, movie, gender, age, occupation, zip, genre -> 7 fields.
+_ML1M_VOCABS = (6100, 4000, 2, 8, 22, 3500, 19)
+
+
+def _movielens() -> TrainConfig:
+    return TrainConfig(
+        name="movielens",
+        model=ModelConfig(
+            num_fields=7,
+            vocab_sizes=_ML1M_VOCABS,
+            embed_dim=16,
+            cross="field_aware",
+            conv_channels=(32, 32),
+            tower_hidden=(128, 64),
+        ),
+        data=DataConfig(dataset="movielens", batch_size=1024, num_train_steps=2000),
+        optim=OptimizerConfig(sparse_optimizer="adagrad"),
+        sharding=ShardingConfig(table_sharded=False),
+    )
+
+
+def _criteo_kaggle() -> TrainConfig:
+    return TrainConfig(
+        name="criteo_kaggle",
+        model=ModelConfig(
+            num_fields=_CRITEO_FIELDS,
+            vocab_sizes=_CRITEO_VOCABS,
+            embed_dim=16,
+            cross="field_aware",
+            num_dense=13,
+        ),
+        data=DataConfig(dataset="criteo", batch_size=4096),
+        sharding=ShardingConfig(table_sharded=False),
+    )
+
+
+def _avazu() -> TrainConfig:
+    return TrainConfig(
+        name="avazu",
+        model=ModelConfig(
+            num_fields=_AVAZU_FIELDS,
+            vocab_sizes=_AVAZU_VOCABS,
+            embed_dim=16,
+            cross="field_aware",
+        ),
+        data=DataConfig(dataset="avazu", batch_size=4096),
+        optim=OptimizerConfig(sparse_optimizer="adagrad"),
+        sharding=ShardingConfig(table_sharded=True),
+    )
+
+
+def _criteo_full() -> TrainConfig:
+    return TrainConfig(
+        name="criteo_full",
+        model=ModelConfig(
+            num_fields=_CRITEO_FIELDS,
+            vocab_sizes=tuple([64] * 13 + [1_000_000] * 26),
+            embed_dim=16,
+            cross="field_aware",
+            num_dense=13,
+        ),
+        data=DataConfig(dataset="criteo", batch_size=32768),
+        sharding=ShardingConfig(table_sharded=True),
+    )
+
+
+def _multihost() -> TrainConfig:
+    cfg = _criteo_full()
+    return dataclasses.replace(cfg, name="multihost")
+
+
+_CONFIGS = {
+    "movielens": _movielens,
+    "criteo_kaggle": _criteo_kaggle,
+    "avazu": _avazu,
+    "criteo_full": _criteo_full,
+    "multihost": _multihost,
+}
+
+
+def get_config(name: str) -> TrainConfig:
+    if name not in _CONFIGS:
+        raise KeyError(f"unknown config {name!r}; have {sorted(_CONFIGS)}")
+    return _CONFIGS[name]()
+
+
+def list_configs():
+    return sorted(_CONFIGS)

@@ -1,0 +1,90 @@
+"""Batcher / host-sharder: dataset name -> iterator of device-ready batches.
+
+Applies per-field vocab offsets (single combined table space), casts to
+the on-device layout, and shards by host (SURVEY.md L6: per-host batch
+shards). Falls back to the synthetic generator when no data path is
+configured or present — this environment has no network, so real
+Criteo/Avazu files are optional.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+from cffm_tpu.config import TrainConfig
+from cffm_tpu.data.readers import avazu_batches, criteo_batches, movielens_batches
+from cffm_tpu.data.synthetic import SyntheticCTR
+from cffm_tpu.models.cffm import field_offsets
+
+
+class Batch(dict):
+    """dict with attribute access: ids (B,F) int32 global, dense, labels."""
+
+    __getattr__ = dict.__getitem__
+
+
+def _raw_iterator(cfg: TrainConfig, process_index: int, process_count: int):
+    d = cfg.data
+    path_ok = d.path is not None and os.path.exists(d.path)
+    per_host = d.batch_size // process_count
+    if d.dataset == "criteo" and path_ok:
+        return criteo_batches(d.path, cfg.model, per_host, process_index, process_count)
+    if d.dataset == "avazu" and path_ok:
+        return avazu_batches(d.path, cfg.model, per_host, process_index, process_count)
+    if d.dataset == "movielens" and path_ok:
+        return movielens_batches(d.path, cfg.model, per_host, seed=d.seed + process_index)
+    return iter(SyntheticCTR(cfg.model, per_host, seed=d.seed + process_index))
+
+
+def make_dataset(
+    cfg: TrainConfig,
+    process_index: int = 0,
+    process_count: int = 1,
+    prefetch: int = 2,
+) -> Iterator[Batch]:
+    """Device-ready batches for this host, with a background prefetch thread."""
+    offsets = field_offsets(cfg.model)[None, :].astype(np.int32)
+    raw = _raw_iterator(cfg, process_index, process_count)
+
+    def to_batch(item) -> Batch:
+        ids, dense, labels = item
+        return Batch(
+            ids=(ids + offsets).astype(np.int32),
+            dense=None if dense is None else dense.astype(np.float32),
+            labels=labels.astype(np.float32),
+        )
+
+    if prefetch <= 0:
+        return (to_batch(x) for x in raw)
+
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    stop = threading.Event()
+
+    def producer():
+        try:
+            for item in raw:
+                if stop.is_set():
+                    return
+                q.put(to_batch(item))
+        finally:
+            q.put(None)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+
+    def consumer():
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
+
+    return consumer()

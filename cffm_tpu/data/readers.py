@@ -1,0 +1,147 @@
+"""Streaming TSV readers: Criteo, Avazu, MovieLens-1M.
+
+Each reader yields numpy batches (ids(B,F) local per-field, dense, label)
+matching the schema in cffm_tpu/config.py. Files are read in chunks and
+hashed with the vectorized hasher (cffm_tpu/data/hashing.py) — no
+per-row Python loops in the hot path. Per-host sharding: host i reads
+every process_count-th chunk (SURVEY.md L6).
+
+Criteo TSV: label \t 13 ints \t 26 hex-cat. Avazu CSV: id,click,hour,
+C1,banner_pos,site_id,...,C21 (24 cols). MovieLens-1M: ratings.dat ::
+separated, joined with users.dat/movies.dat.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from cffm_tpu.config import ModelConfig
+from cffm_tpu.data.hashing import bucketize_log2, hash_strings
+
+
+def _chunked_lines(path: str, chunk: int, shard_index: int = 0, num_shards: int = 1,
+                   skip_header: bool = False, repeat: bool = True):
+    """Yield lists of `chunk` lines; shard by chunk round-robin across hosts."""
+    while True:
+        with open(path, "rb") as f:
+            it = iter(f)
+            if skip_header:
+                next(it, None)
+            chunk_idx = 0
+            while True:
+                lines = list(itertools.islice(it, chunk))
+                if not lines:
+                    break
+                if chunk_idx % num_shards == shard_index:
+                    yield lines
+                chunk_idx += 1
+        if not repeat:
+            return
+
+
+def criteo_batches(
+    path: str, cfg: ModelConfig, batch_size: int,
+    shard_index: int = 0, num_shards: int = 1, repeat: bool = True,
+) -> Iterator[Tuple[np.ndarray, Optional[np.ndarray], np.ndarray]]:
+    """Criteo TSV -> (ids, dense, label). 39 fields: 13 bucketized ints
+    + 26 hashed categoricals; ints also pass through as log1p dense."""
+    assert cfg.num_fields == 39
+    for lines in _chunked_lines(path, batch_size, shard_index, num_shards, repeat=repeat):
+        rows = np.array([ln.rstrip(b"\n").split(b"\t") for ln in lines], dtype=object)
+        n = len(rows)
+        if rows.shape[1] < 40:
+            continue
+        label = rows[:, 0].astype(np.float32)
+        ints_raw = rows[:, 1:14]
+        ints = np.where(ints_raw == b"", b"-1", ints_raw).astype(np.int64)
+        ids = np.empty((n, 39), dtype=np.int32)
+        for i in range(13):
+            ids[:, i] = bucketize_log2(ints[:, i], cfg.vocab_sizes[i])
+        for i in range(26):
+            col = rows[:, 14 + i].astype("S16")
+            ids[:, 13 + i] = hash_strings(col, cfg.vocab_sizes[13 + i])
+        dense = np.log1p(np.maximum(ints, 0)).astype(np.float32) if cfg.num_dense else None
+        yield ids, dense, label
+
+
+def avazu_batches(
+    path: str, cfg: ModelConfig, batch_size: int,
+    shard_index: int = 0, num_shards: int = 1, repeat: bool = True,
+) -> Iterator[Tuple[np.ndarray, Optional[np.ndarray], np.ndarray]]:
+    """Avazu CSV -> 23 fields: hour-of-day, day-of-week + 21 hashed cats."""
+    assert cfg.num_fields == 23
+    for lines in _chunked_lines(path, batch_size, shard_index, num_shards,
+                                skip_header=True, repeat=repeat):
+        rows = np.array([ln.rstrip(b"\n").split(b",") for ln in lines], dtype=object)
+        n = len(rows)
+        if rows.shape[1] < 24:
+            continue
+        label = rows[:, 1].astype(np.float32)
+        hour_str = rows[:, 2].astype("S8")  # YYMMDDHH
+        hh = np.array([int(h[-2:]) for h in hour_str], dtype=np.int32)
+        yymmdd = np.array([int(h[:6]) for h in hour_str], dtype=np.int64)
+        dow = (yymmdd % 7).astype(np.int32)  # proxy day-of-week
+        ids = np.empty((n, 23), dtype=np.int32)
+        ids[:, 0] = np.minimum(hh, cfg.vocab_sizes[0] - 1)
+        ids[:, 1] = np.minimum(dow, cfg.vocab_sizes[1] - 1)
+        for i in range(21):
+            col = rows[:, 3 + i].astype("S24")
+            ids[:, 2 + i] = hash_strings(col, cfg.vocab_sizes[2 + i])
+        yield ids, None, label
+
+
+def movielens_batches(
+    path: str, cfg: ModelConfig, batch_size: int, seed: int = 0, repeat: bool = True,
+) -> Iterator[Tuple[np.ndarray, Optional[np.ndarray], np.ndarray]]:
+    """MovieLens-1M directory (ratings.dat/users.dat/movies.dat) ->
+    7 fields (user, movie, gender, age, occupation, zip, first-genre);
+    label = rating >= 4 (standard CTR-ification)."""
+    assert cfg.num_fields == 7
+    users = {}
+    with open(os.path.join(path, "users.dat"), "rb") as f:
+        for ln in f:
+            uid, gender, age, occ, zipc = ln.rstrip(b"\n").split(b"::")
+            users[int(uid)] = (gender, int(age), int(occ), zipc)
+    movies = {}
+    genre_vocab = {}
+    with open(os.path.join(path, "movies.dat"), "rb") as f:
+        for ln in f:
+            mid, _title, genres = ln.rstrip(b"\n").split(b"::")
+            g = genres.split(b"|")[0]
+            gid = genre_vocab.setdefault(g, len(genre_vocab))
+            movies[int(mid)] = gid
+    ages = sorted({v[1] for v in users.values()})
+    age_idx = {a: i for i, a in enumerate(ages)}
+
+    ratings = []
+    with open(os.path.join(path, "ratings.dat"), "rb") as f:
+        for ln in f:
+            uid, mid, r, _ts = ln.rstrip(b"\n").split(b"::")
+            ratings.append((int(uid), int(mid), int(r)))
+    ratings = np.asarray(ratings, dtype=np.int64)
+    rng = np.random.default_rng(seed)
+
+    while True:
+        perm = rng.permutation(len(ratings))
+        for start in range(0, len(perm) - batch_size + 1, batch_size):
+            sel = ratings[perm[start : start + batch_size]]
+            n = len(sel)
+            ids = np.zeros((n, 7), dtype=np.int32)
+            for k, (uid, mid, _r) in enumerate(sel):
+                gender, age, occ, zipc = users[int(uid)]
+                ids[k, 0] = int(uid) % cfg.vocab_sizes[0]
+                ids[k, 1] = int(mid) % cfg.vocab_sizes[1]
+                ids[k, 2] = 0 if gender == b"M" else 1
+                ids[k, 3] = age_idx[age]
+                ids[k, 4] = occ % cfg.vocab_sizes[4]
+                ids[k, 6] = movies.get(int(mid), 0) % cfg.vocab_sizes[6]
+            zips = np.array([users[int(u)][3] for u, _m, _r in sel], dtype="S8")
+            ids[:, 5] = hash_strings(zips, cfg.vocab_sizes[5])
+            label = (sel[:, 2] >= 4).astype(np.float32)
+            yield ids, None, label
+        if not repeat:
+            return

@@ -1,0 +1,150 @@
+"""CFFM model: embeddings -> pairwise cross -> conv core -> MLP tower.
+
+Functional (pure-pytree) implementation; no Module framework. The
+lookup is deliberately split from the rest of the forward so the
+row-sharded embedding engine (cffm_tpu/parallel/sharded_embedding.py)
+can substitute its all-to-all lookup, and so the train step can take
+grads w.r.t. the looked-up rows for the colocated per-row sparse
+optimizer (SURVEY.md §4.1).
+
+Model math per SURVEY.md §1.1; stack per BASELINE.json "north_star".
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cffm_tpu.config import ModelConfig
+from cffm_tpu.ops.cross import build_cross_map, conv_core_reference
+
+
+def field_offsets(cfg: ModelConfig) -> np.ndarray:
+    """Per-field starting offset into the single combined vocab space."""
+    return np.concatenate([[0], np.cumsum(cfg.vocab_sizes)[:-1]]).astype(np.int64)
+
+
+def init_params(key: jax.Array, cfg: ModelConfig) -> Dict:
+    """Initialize all parameters as a flat-ish pytree dict.
+
+    Tables: N(0, 0.01) (FM-family convention). Conv/tower: He for
+    ReLU layers, Glorot for the final logit layer.
+    """
+    keys = jax.random.split(key, 8)
+    pdt = jnp.dtype(cfg.param_dtype)
+    params = {}
+
+    params["embed"] = {
+        "table": 0.01
+        * jax.random.normal(keys[0], (cfg.total_vocab, cfg.row_width), dtype=pdt)
+    }
+    if cfg.use_first_order:
+        params["linear"] = {
+            "table": 0.01 * jax.random.normal(keys[1], (cfg.total_vocab, 1), dtype=pdt),
+            "bias": jnp.zeros((), dtype=pdt),
+        }
+
+    conv_layers = []
+    in_ch = cfg.num_pairs
+    ck = jax.random.split(keys[2], max(len(cfg.conv_channels), 1))
+    for li, out_ch in enumerate(cfg.conv_channels):
+        fan_in = in_ch * cfg.conv_kernel
+        w = jax.random.normal(ck[li], (out_ch, in_ch, cfg.conv_kernel), dtype=pdt)
+        conv_layers.append(
+            {"w": w * jnp.asarray(np.sqrt(2.0 / fan_in), pdt), "b": jnp.zeros((out_ch,), pdt)}
+        )
+        in_ch = out_ch
+    params["conv"] = conv_layers
+
+    tower_layers = []
+    in_dim = cfg.conv_out_dim + cfg.num_dense
+    tk = jax.random.split(keys[3], len(cfg.tower_hidden) + 1)
+    for li, out_dim in enumerate(cfg.tower_hidden):
+        w = jax.random.normal(tk[li], (in_dim, out_dim), dtype=pdt)
+        tower_layers.append(
+            {"w": w * jnp.asarray(np.sqrt(2.0 / in_dim), pdt), "b": jnp.zeros((out_dim,), pdt)}
+        )
+        in_dim = out_dim
+    w = jax.random.normal(tk[-1], (in_dim, 1), dtype=pdt)
+    tower_layers.append(
+        {"w": w * jnp.asarray(np.sqrt(1.0 / in_dim), pdt), "b": jnp.zeros((1,), pdt)}
+    )
+    params["tower"] = tower_layers
+    return params
+
+
+def embedding_lookup(params: Dict, ids: jax.Array, cfg: ModelConfig):
+    """Replicated-table lookup. ids: (B, F) global (offset-applied) ids.
+
+    Returns (emb_rows, lin_rows): (B, F, row_width) and (B, F, 1) | None.
+    The sharded engine provides the same contract via all-to-all.
+    """
+    emb_rows = jnp.take(params["embed"]["table"], ids, axis=0)
+    lin_rows = None
+    if cfg.use_first_order:
+        lin_rows = jnp.take(params["linear"]["table"], ids, axis=0)
+    return emb_rows, lin_rows
+
+
+def _tower(params: Dict, x: jax.Array, cfg: ModelConfig) -> jax.Array:
+    layers = params["tower"]
+    for layer in layers[:-1]:
+        x = x @ layer["w"].astype(x.dtype) + layer["b"].astype(x.dtype)
+        x = jax.nn.relu(x)
+    last = layers[-1]
+    x = x @ last["w"].astype(x.dtype) + last["b"].astype(x.dtype)
+    return x[:, 0]
+
+
+def forward_from_rows(
+    params: Dict,
+    emb_rows: jax.Array,
+    lin_rows: Optional[jax.Array],
+    dense: Optional[jax.Array],
+    cfg: ModelConfig,
+    *,
+    interaction_fn=None,
+) -> jax.Array:
+    """Forward pass from looked-up rows to logits (B,).
+
+    interaction_fn(emb, conv_params, cfg) -> flat conv features; defaults
+    to the jnp reference; the Pallas fused kernel is dropped in here.
+    """
+    b = emb_rows.shape[0]
+    cdt = jnp.dtype(cfg.compute_dtype)
+    emb = emb_rows.astype(cdt)
+    if cfg.cross == "field_aware":
+        emb = emb.reshape(b, cfg.num_fields, cfg.num_fields, cfg.embed_dim)
+
+    if interaction_fn is None:
+        feats = conv_core_reference(build_cross_map(emb, cfg), params["conv"], cfg)
+    else:
+        feats = interaction_fn(emb, params["conv"], cfg)
+
+    if dense is not None and cfg.num_dense > 0:
+        feats = jnp.concatenate([feats, dense.astype(cdt)], axis=-1)
+
+    logits = _tower(params, feats, cfg).astype(jnp.float32)
+
+    if cfg.use_first_order:
+        logits = logits + jnp.sum(lin_rows.astype(jnp.float32), axis=(1, 2))
+        logits = logits + params["linear"]["bias"].astype(jnp.float32)
+    return logits
+
+
+def forward(
+    params: Dict,
+    ids: jax.Array,
+    dense: Optional[jax.Array],
+    cfg: ModelConfig,
+    *,
+    interaction_fn=None,
+) -> jax.Array:
+    """Full replicated-table forward: ids -> logits."""
+    emb_rows, lin_rows = embedding_lookup(params, ids, cfg)
+    return forward_from_rows(
+        params, emb_rows, lin_rows, dense, cfg, interaction_fn=interaction_fn
+    )

@@ -1,0 +1,136 @@
+"""Per-row sparse optimizers for embedding tables + dense optax factory.
+
+Sparse path (SURVEY.md §3 "Per-row sparse optimizer"): optimizer state
+is allocated row-for-row with the table (same sharding -> updates stay
+local to the shard, no cross-device traffic beyond the gradient
+all-to-all that routing already pays). Supported: per-row Adagrad
+(row-wise accumulator, DLRM-style), Adam, SGD.
+
+Update contract: the train step hands us the *touched rows* as
+(row_ids (N,), grads (N, W)) where row_ids MAY repeat (duplicate ids in
+the batch); grads for duplicate rows are segment-summed here before the
+state update so Adagrad sees one accumulation per row per step.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from cffm_tpu.config import OptimizerConfig
+
+
+def rowwise_init(table: jax.Array, opt: OptimizerConfig) -> Dict:
+    v = table.shape[0]
+    if opt.sparse_optimizer == "adagrad":
+        # Row-wise accumulator (scalar per row): cuts state HBM by W×
+        # and matches DLRM-family row-wise Adagrad semantics.
+        return {"accum": jnp.full((v, 1), opt.adagrad_init, jnp.float32)}
+    if opt.sparse_optimizer == "adam":
+        return {
+            "m": jnp.zeros_like(table, jnp.float32),
+            "v": jnp.zeros_like(table, jnp.float32),
+            "t": jnp.zeros((), jnp.int32),
+        }
+    if opt.sparse_optimizer == "sgd":
+        return {}
+    raise ValueError(opt.sparse_optimizer)
+
+
+def _dedup_sum(row_ids: jax.Array, grads: jax.Array, num_rows: int):
+    """Sum duplicate-row grads; returns (unique-ish ids, summed grads, touched mask).
+
+    Static-shape implementation: scatter-add into a dense (num_rows, W)
+    buffer would defeat the purpose for big tables, so instead sort ids
+    and segment-sum within the batch (N stays the static size; each
+    distinct row's total lands at its first occurrence, zeros elsewhere).
+    """
+    n = row_ids.shape[0]
+    order = jnp.argsort(row_ids)
+    sid = row_ids[order]
+    sgrad = grads[order]
+    is_first = jnp.concatenate([jnp.ones((1,), bool), sid[1:] != sid[:-1]])
+    seg = jnp.cumsum(is_first) - 1
+    summed = jax.ops.segment_sum(sgrad, seg, num_segments=n)
+    first_pos = jax.ops.segment_min(
+        jnp.arange(n), seg, num_segments=n
+    )
+    seg_ids = jax.ops.segment_max(sid, seg, num_segments=n)
+    valid = jnp.arange(n) < (seg[-1] + 1)
+    # rows: unique ids (garbage past the end masked to row 0 with zero grad)
+    uids = jnp.where(valid, seg_ids, 0)
+    ugrads = jnp.where(valid[:, None], summed, 0.0)
+    del first_pos
+    return uids, ugrads, valid
+
+
+def rowwise_update(
+    table: jax.Array,
+    state: Dict,
+    row_ids: jax.Array,
+    grads: jax.Array,
+    opt: OptimizerConfig,
+    lr_scale: float = 1.0,
+) -> Tuple[jax.Array, Dict]:
+    """Apply a sparse per-row update. row_ids (N,), grads (N, W).
+
+    Duplicates are pre-summed; sentinel id < 0 rows are dropped.
+    """
+    w = table.shape[1]
+    assert grads.shape[-1] == w
+    row_ids = row_ids.reshape(-1)
+    grads = grads.reshape(-1, w).astype(jnp.float32)
+    sentinel_ok = row_ids >= 0
+    safe_ids = jnp.where(sentinel_ok, row_ids, 0)
+    grads = jnp.where(sentinel_ok[:, None], grads, 0.0)
+
+    uids, g, valid = _dedup_sum(safe_ids, grads, table.shape[0])
+    lr = opt.sparse_lr * lr_scale
+
+    if opt.sparse_optimizer == "adagrad":
+        accum = state["accum"]
+        g2 = jnp.mean(g * g, axis=-1, keepdims=True)  # row-wise accumulator
+        g2 = jnp.where(valid[:, None], g2, 0.0)
+        new_accum = accum.at[uids].add(g2)
+        denom = jnp.sqrt(new_accum[uids]) + opt.eps
+        delta = jnp.where(valid[:, None], -lr * g / denom, 0.0)
+        new_table = table.at[uids].add(delta.astype(table.dtype))
+        return new_table, {"accum": new_accum}
+
+    if opt.sparse_optimizer == "adam":
+        t = state["t"] + 1
+        m = state["m"]
+        v = state["v"]
+        gm = jnp.where(valid[:, None], g, 0.0)
+        new_m = m.at[uids].multiply(opt.adam_b1)
+        new_m = new_m.at[uids].add((1 - opt.adam_b1) * gm)
+        new_v = v.at[uids].multiply(opt.adam_b2)
+        new_v = new_v.at[uids].add((1 - opt.adam_b2) * gm * gm)
+        mhat = new_m[uids] / (1 - opt.adam_b1 ** t.astype(jnp.float32))
+        vhat = new_v[uids] / (1 - opt.adam_b2 ** t.astype(jnp.float32))
+        delta = jnp.where(valid[:, None], -lr * mhat / (jnp.sqrt(vhat) + opt.eps), 0.0)
+        new_table = table.at[uids].add(delta.astype(table.dtype))
+        return new_table, {"m": new_m, "v": new_v, "t": t}
+
+    if opt.sparse_optimizer == "sgd":
+        delta = jnp.where(valid[:, None], -lr * g, 0.0)
+        return table.at[uids].add(delta.astype(table.dtype)), state
+
+    raise ValueError(opt.sparse_optimizer)
+
+
+def make_dense_optimizer(opt: OptimizerConfig) -> optax.GradientTransformation:
+    if opt.dense_optimizer == "adam":
+        tx = optax.adam(opt.dense_lr, b1=opt.adam_b1, b2=opt.adam_b2, eps=opt.eps)
+    elif opt.dense_optimizer == "adagrad":
+        tx = optax.adagrad(opt.dense_lr, initial_accumulator_value=opt.adagrad_init)
+    elif opt.dense_optimizer == "sgd":
+        tx = optax.sgd(opt.dense_lr)
+    else:
+        raise ValueError(opt.dense_optimizer)
+    if opt.weight_decay > 0:
+        tx = optax.chain(optax.add_decayed_weights(opt.weight_decay), tx)
+    return tx

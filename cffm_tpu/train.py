@@ -1,0 +1,193 @@
+"""Training/eval loops: jit-compiled step, logloss, AUC eval.
+
+Hot path per SURVEY.md §4.1. The embedding tables are NOT differentiated
+through autodiff end-to-end: the step takes grads w.r.t. the *looked-up
+rows* (activations) and applies the per-row sparse optimizer directly —
+the TPU-idiomatic route that avoids materializing dense table-sized
+gradients. Dense params (conv/tower + linear bias) use optax.
+
+Single-chip / replicated-table path here; the row-sharded path lives in
+cffm_tpu/parallel/ and plugs in via the same TrainState contract.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import time
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from cffm_tpu import metrics
+from cffm_tpu.config import TrainConfig
+from cffm_tpu.models import cffm as model_lib
+from cffm_tpu.optim.rowwise import make_dense_optimizer, rowwise_init, rowwise_update
+
+
+class TrainState(NamedTuple):
+    step: jax.Array
+    params: Dict[str, Any]  # full model params (embed/linear tables included)
+    dense_opt_state: Any  # optax state over the dense sub-tree
+    sparse_opt_state: Dict[str, Any]  # {"embed": ..., "linear": ...}
+
+
+def split_dense_params(params: Dict) -> Dict:
+    """The sub-tree optimized by optax (everything but the big tables)."""
+    dense = {"conv": params["conv"], "tower": params["tower"]}
+    if "linear" in params:
+        dense["linear_bias"] = params["linear"]["bias"]
+    return dense
+
+
+def merge_dense_params(params: Dict, dense: Dict) -> Dict:
+    out = dict(params)
+    out["conv"] = dense["conv"]
+    out["tower"] = dense["tower"]
+    if "linear_bias" in dense:
+        out["linear"] = dict(params["linear"], bias=dense["linear_bias"])
+    return out
+
+
+def create_state(cfg: TrainConfig, rng: jax.Array) -> TrainState:
+    params = model_lib.init_params(rng, cfg.model)
+    tx = make_dense_optimizer(cfg.optim)
+    dense_opt_state = tx.init(split_dense_params(params))
+    sparse = {"embed": rowwise_init(params["embed"]["table"], cfg.optim)}
+    if cfg.model.use_first_order:
+        sparse["linear"] = rowwise_init(params["linear"]["table"], cfg.optim)
+    return TrainState(jnp.zeros((), jnp.int32), params, dense_opt_state, sparse)
+
+
+def _loss_from_rows(dense_params, emb_rows, lin_rows, batch_dense, labels, params, cfg,
+                    interaction_fn):
+    full = merge_dense_params(params, dense_params)
+    logits = model_lib.forward_from_rows(
+        full, emb_rows, lin_rows, batch_dense, cfg.model, interaction_fn=interaction_fn
+    )
+    return metrics.logloss(logits, labels), logits
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interaction_fn"), donate_argnums=(0,))
+def train_step(
+    state: TrainState,
+    ids: jax.Array,
+    dense: Optional[jax.Array],
+    labels: jax.Array,
+    cfg: TrainConfig,
+    interaction_fn=None,
+):
+    """One SGD step. Returns (new_state, metrics dict)."""
+    params = state.params
+    mcfg = cfg.model
+    emb_rows, lin_rows = model_lib.embedding_lookup(params, ids, mcfg)
+
+    grad_fn = jax.value_and_grad(
+        _loss_from_rows, argnums=(0, 1, 2) if mcfg.use_first_order else (0, 1),
+        has_aux=True,
+    )
+    if mcfg.use_first_order:
+        (loss, logits), (dgrads, demb, dlin) = grad_fn(
+            split_dense_params(params), emb_rows, lin_rows, dense, labels, params, cfg,
+            interaction_fn,
+        )
+    else:
+        (loss, logits), (dgrads, demb) = grad_fn(
+            split_dense_params(params), emb_rows, None, dense, labels, params, cfg,
+            interaction_fn,
+        )
+        dlin = None
+
+    # Dense update (optax).
+    tx = make_dense_optimizer(cfg.optim)
+    updates, new_dense_opt = tx.update(dgrads, state.dense_opt_state,
+                                       split_dense_params(params))
+    new_dense = optax.apply_updates(split_dense_params(params), updates)
+    new_params = merge_dense_params(params, new_dense)
+
+    # Sparse per-row updates on the touched rows.
+    flat_ids = ids.reshape(-1)
+    new_sparse = dict(state.sparse_opt_state)
+    new_table, new_sparse["embed"] = rowwise_update(
+        new_params["embed"]["table"], state.sparse_opt_state["embed"],
+        flat_ids, demb.reshape(-1, mcfg.row_width), cfg.optim,
+    )
+    new_params = dict(new_params, embed={"table": new_table})
+    if mcfg.use_first_order:
+        new_lin, new_sparse["linear"] = rowwise_update(
+            new_params["linear"]["table"], state.sparse_opt_state["linear"],
+            flat_ids, dlin.reshape(-1, 1), cfg.optim,
+        )
+        new_params = dict(new_params, linear=dict(new_params["linear"], table=new_lin))
+
+    new_state = TrainState(state.step + 1, new_params, new_dense_opt, new_sparse)
+    step_metrics = {
+        "loss": loss,
+        "logit_mean": jnp.mean(logits),
+    }
+    return new_state, step_metrics
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interaction_fn"))
+def eval_step(state: TrainState, auc_state, ids, dense, labels, cfg: TrainConfig,
+              interaction_fn=None):
+    logits = model_lib.forward(state.params, ids, dense, cfg.model,
+                               interaction_fn=interaction_fn)
+    return metrics.auc_state_update(auc_state, logits, labels)
+
+
+def evaluate(state: TrainState, batches, cfg: TrainConfig, interaction_fn=None) -> Dict:
+    auc_state = metrics.auc_state_init()
+    for batch in batches:
+        auc_state = eval_step(
+            state, auc_state, jnp.asarray(batch["ids"]),
+            None if batch["dense"] is None else jnp.asarray(batch["dense"]),
+            jnp.asarray(batch["labels"]), cfg, interaction_fn,
+        )
+    out = metrics.auc_state_finalize(auc_state)
+    return {k: float(v) for k, v in out.items()}
+
+
+def run(cfg: TrainConfig, interaction_fn=None, log_fn=print) -> Dict:
+    """Full train-then-eval for one config. Returns final metrics."""
+    from cffm_tpu.data.loader import make_dataset
+
+    rng = jax.random.key(cfg.data.seed)
+    state = create_state(cfg, rng)
+    ds = make_dataset(cfg)
+
+    t0 = time.time()
+    examples = 0
+    last_loss = float("nan")
+    for step in range(cfg.data.num_train_steps):
+        batch = next(ds)
+        state, m = train_step(
+            state, jnp.asarray(batch["ids"]),
+            None if batch["dense"] is None else jnp.asarray(batch["dense"]),
+            jnp.asarray(batch["labels"]), cfg, interaction_fn,
+        )
+        examples += len(batch["labels"])
+        if cfg.log_every and (step + 1) % cfg.log_every == 0:
+            last_loss = float(m["loss"])
+            elapsed = time.time() - t0
+            log_fn(json.dumps({
+                "step": step + 1, "loss": last_loss,
+                "examples_per_s": examples / max(elapsed, 1e-9),
+            }))
+
+    eval_batches = [next(ds) for _ in range(cfg.data.eval_batches)]
+    result = evaluate(state, eval_batches, cfg, interaction_fn)
+    result["final_train_loss"] = last_loss
+    log_fn(json.dumps({"eval": result}))
+    return result
+
+
+if __name__ == "__main__":
+    from cffm_tpu.cli import main as _main
+
+    import sys as _sys
+
+    _sys.exit(_main())
