@@ -34,6 +34,7 @@ class ModelConfig:
     use_first_order: bool = True  # FM first-order linear term
     compute_dtype: str = "bfloat16"  # matmul/conv activations dtype
     param_dtype: str = "float32"
+    use_pallas: bool = True  # fused cross+conv kernel (auto-interprets off-TPU)
 
     def __post_init__(self):
         assert len(self.vocab_sizes) == self.num_fields

@@ -1,0 +1,433 @@
+"""Fused pairwise-cross + conv Pallas kernels (fwd + bwd).
+
+The hot op of CFFM (SURVEY.md L3, BASELINE.json north_star: "fused
+interaction-map build + conv kernel"). The interaction map
+M ∈ (B, P, d) (P = F(F-1)/2 pairs) is never materialized in HBM: the
+kernel reads the looked-up embedding rows once, builds M in VMEM, and
+applies the first (heaviest: in_channels = P) conv layer there.
+Remaining conv layers operate on the small (B, C1, d) activation and
+are left to XLA.
+
+TPU layout strategy (see pallas_guide.md tiling rules):
+  - batch tile Bt rides the LANE axis (128);
+  - per-field transpose E (Bt, F, W) -> ET (F, W, Bt) in VMEM (cheap:
+    measured ~free vs the matmuls);
+  - cross chunks for anchor field i are pure static slices of ET
+    (no per-pair gather): A_i = ET[i, (i+1)d:Fd] and
+    B_i = ET[i+1:F, id:(i+1)d], both already (n_i, d, Bt);
+  - conv1 runs as d/2 MXU matmuls (2*C1, k1*P_pad) @ (k1*P_pad, Bt):
+    the k taps are concatenated into one deep contraction (the tap
+    window is a contiguous leading-axis slice of the zero-padded
+    M2T (d+2, P_pad, Bt)), and two adjacent output positions are
+    stacked to fill the 128 sublanes (weight matrix is banded
+    [[W0 W1 W2 0], [0 W0 W1 W2]]). This replaced a 48-small-matmul
+    version that ran at ~5% MXU utilization.
+
+Backward rematerializes ET/M2T from E (standard remat) and emits dE and
+dW1; bias/ReLU/pool live outside the kernel so their grads come from
+XLA autodiff.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cffm_tpu.config import ModelConfig
+from cffm_tpu.ops.cross import build_cross_map, conv_core_reference
+
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _auto_interpret() -> bool:
+    return jax.devices()[0].platform not in ("tpu", "axon")
+
+
+# ---------------------------------------------------------------------------
+# Reference semantics for the fused op (conv layer 1, linear part only).
+# ---------------------------------------------------------------------------
+
+
+def cross_conv1_reference(emb: jax.Array, w1: jax.Array, cfg: ModelConfig) -> jax.Array:
+    """emb: (B,F,d) or (B,F,F,d). w1: (C1, P, k). Returns (B, C1, d)."""
+    m = build_cross_map(emb, cfg)  # (B, P, d)
+    return jax.lax.conv_general_dilated(
+        m, w1.astype(m.dtype), window_strides=(1,), padding="SAME",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared in-kernel helpers
+# ---------------------------------------------------------------------------
+
+
+def _build_et(e_ref, f: int, w: int, bt: int):
+    """E block (Bt, F*W) -> ET value (F, W, Bt).
+
+    The input block is FLAT 2D so the HBM->VMEM DMA copies contiguous
+    48KB-per-example rows (a 3D (Bt, F, W) block made the DMA do ~1.2KB
+    strided row copies and ran at ~43GB/s, 18x off HBM speed). One
+    whole-tile transpose + sublane-aligned reshape happens in VMEM.
+    """
+    return e_ref[...].T.reshape(f, w, bt)
+
+
+def _build_m2t(et, m2t, cfg: ModelConfig, p_pad: int, bt: int):
+    """Cross map, pair-transposed: M2T (d+2, P_pad, Bt).
+
+    Row 1+x holds interaction position x; rows 0 and d+1 stay zero
+    (SAME-padding halo for the tap-window trick).
+    """
+    f, d = cfg.num_fields, cfg.embed_dim
+    fa = cfg.cross == "field_aware"
+    m2t[0] = jnp.zeros((p_pad, bt), m2t.dtype)
+    m2t[d + 1] = jnp.zeros((p_pad, bt), m2t.dtype)
+    off = 0
+    for i in range(f):
+        ni = f - 1 - i
+        if ni == 0:
+            break
+        if fa:
+            a = et[i, (i + 1) * d : f * d, :].reshape(ni, d, bt)
+            b = et[i + 1 : f, i * d : (i + 1) * d, :]
+        else:
+            a = et[i, :, :][None, :, :]  # (1, d, Bt) broadcast over ni
+            b = et[i + 1 : f, :, :]
+        m2t[1 : d + 1, off : off + ni, :] = jnp.swapaxes(
+            (a * b).astype(m2t.dtype), 0, 1
+        )
+        off += ni
+    if p_pad > off:
+        m2t[1 : d + 1, off:p_pad, :] = jnp.zeros((d, p_pad - off, bt), m2t.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(e_ref, w2_ref, y_ref, m2t, *, cfg: ModelConfig,
+                p_pad: int, bt: int, c1: int):
+    f, d, k = cfg.num_fields, cfg.embed_dim, cfg.conv_kernel
+    kw = k + 1  # tap window width for the 2-stacked-output trick
+
+    et = _build_et(e_ref, f, cfg.row_width, bt)
+    _build_m2t(et, m2t, cfg, p_pad, bt)
+
+    w2 = w2_ref[...]  # (2*C1, (k+1)*P_pad), pre-flattened on host
+    cols = []
+    for x in range(0, d, 2):
+        win = m2t[x : x + kw].reshape(kw * p_pad, bt)
+        acc = jax.lax.dot_general(
+            w2, win, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (2*C1, Bt): rows [0,C1) -> output x, [C1,2C1) -> x+1
+        cols.append(acc.reshape(2, c1, bt))
+    y = jnp.stack(cols, axis=0)  # (d//2, 2, C1, Bt)
+    y = jnp.swapaxes(y.reshape(d, c1, bt), 0, 1)  # (C1, d, Bt)
+    y_ref[...] = y.reshape(c1 * d, bt).T.astype(y_ref.dtype)
+
+
+def _fwd_pallas(emb2d: jax.Array, w2: jax.Array, cfg: ModelConfig, bt: int,
+                interpret: bool) -> jax.Array:
+    """emb2d: (B, F*W) flat. w2: (2*C1, (k+1)*P_pad). Returns (B, C1*d)."""
+    b, fw = emb2d.shape
+    f, w = cfg.num_fields, cfg.row_width
+    c2, kwp = w2.shape
+    c1 = c2 // 2
+    kw = cfg.conv_kernel + 1
+    p_pad = kwp // kw
+    d = cfg.embed_dim
+    dtype = emb2d.dtype
+
+    kernel = functools.partial(_fwd_kernel, cfg=cfg, p_pad=p_pad, bt=bt, c1=c1)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, fw), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c2, kwp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, c1 * d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, c1 * d), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((d + 2, p_pad, bt), dtype),   # M2T (padded halo)
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(emb2d, w2)
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(e_ref, wr_ref, g_ref, de_ref, dw_ref, m2t, dm2, gp, *,
+                cfg: ModelConfig, p_pad: int, bt: int, c1: int):
+    f, d, k = cfg.num_fields, cfg.embed_dim, cfg.conv_kernel
+    fa = cfg.cross == "field_aware"
+    half = k // 2
+
+    # Remat forward layout stages.
+    et = _build_et(e_ref, f, cfg.row_width, bt)
+    _build_m2t(et, m2t, cfg, p_pad, bt)
+
+    # g (Bt, C1*d) -> gp (d+2, C1, Bt) zero-padded halo.
+    g_t = g_ref[...].T.reshape(c1, d, bt)
+    gp[0] = jnp.zeros((c1, bt), gp.dtype)
+    gp[d + 1] = jnp.zeros((c1, bt), gp.dtype)
+    gp[1 : d + 1] = jnp.swapaxes(g_t, 0, 1)
+
+    # dW[t] = sum_x M2T[x + t - half] g_x^T  (contract batch lanes)
+    for t in range(k):
+        dw_acc = jnp.zeros((p_pad, c1), jnp.float32)
+        for x in range(d):
+            xin = x + t - half
+            if 0 <= xin < d:
+                dw_acc += jax.lax.dot_general(
+                    m2t[xin + 1], gp[x + 1],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+        dw_ref[0, t] = dw_acc.astype(dw_ref.dtype)
+
+    # dM2T[xin] = sum_t W_t^T g[xin - t + half]
+    #           = Wr (P_pad, k*C1) @ gwin (k*C1, Bt), taps reversed in Wr.
+    wr = wr_ref[...]  # (P_pad, k*C1), pre-flattened on host
+    for xin in range(d):
+        gwin = gp[xin : xin + k].reshape(k * c1, bt)
+        dm2[xin] = jax.lax.dot_general(
+            wr, gwin, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dm2.dtype)
+
+    # dE through the cross products (reads of et precede writes of de_ref).
+    dm = jnp.swapaxes(dm2[...], 0, 1)  # (P_pad, d, Bt)
+    if fa:
+        de_blocks = [[None] * f for _ in range(f)]
+        off = 0
+        for i in range(f):
+            ni = f - 1 - i
+            if ni == 0:
+                break
+            a = et[i, (i + 1) * d : f * d, :].reshape(ni, d, bt)
+            b = et[i + 1 : f, i * d : (i + 1) * d, :]
+            chunk = dm[off : off + ni]
+            da = chunk * b.astype(dm.dtype)
+            db = chunk * a.astype(dm.dtype)
+            for jj in range(ni):
+                de_blocks[i][i + 1 + jj] = da[jj]
+                de_blocks[i + 1 + jj][i] = db[jj]
+            off += ni
+        zero = jnp.zeros((d, bt), dm.dtype)
+        rows = []
+        for i in range(f):
+            rows.append(jnp.concatenate(
+                [de_blocks[i][j] if de_blocks[i][j] is not None else zero
+                 for j in range(f)],
+                axis=0,
+            ))  # (W, Bt)
+        de_full = jnp.concatenate(rows, axis=0)  # (F*W, Bt)
+        de_ref[...] = de_full.T.astype(de_ref.dtype)
+    else:
+        acc = [jnp.zeros((d, bt), jnp.float32) for _ in range(f)]
+        off = 0
+        for i in range(f):
+            ni = f - 1 - i
+            if ni == 0:
+                break
+            b = et[i + 1 : f, :, :]
+            chunk = dm[off : off + ni].astype(jnp.float32)
+            acc[i] = acc[i] + jnp.sum(chunk * b.astype(jnp.float32), axis=0)
+            da = chunk * et[i, :, :][None, :, :].astype(jnp.float32)
+            for jj in range(ni):
+                acc[i + 1 + jj] = acc[i + 1 + jj] + da[jj]
+            off += ni
+        de_full = jnp.concatenate(acc, axis=0)  # (F*d, Bt)
+        de_ref[...] = de_full.T.astype(de_ref.dtype)
+
+
+def _bwd_pallas(emb2d, wr, g, cfg: ModelConfig, bt: int, interpret: bool):
+    b, fw = emb2d.shape
+    f, w = cfg.num_fields, cfg.row_width
+    p_pad, kc = wr.shape
+    k = cfg.conv_kernel
+    c1 = kc // k
+    d = cfg.embed_dim
+    dtype = emb2d.dtype
+    kernel = functools.partial(_bwd_kernel, cfg=cfg, p_pad=p_pad, bt=bt, c1=c1)
+    de, dw = pl.pallas_call(
+        kernel,
+        grid=(b // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, fw), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((p_pad, kc), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, c1 * d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bt, f * w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            # one dW partial per batch tile; summed outside
+            pl.BlockSpec((1, k, p_pad, c1), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, f * w), dtype),
+            jax.ShapeDtypeStruct((b // bt, k, p_pad, c1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((d + 2, p_pad, bt), dtype),   # M2T (padded halo)
+            pltpu.VMEM((d, p_pad, bt), dtype),       # dM2T
+            pltpu.VMEM((d + 2, c1, bt), dtype),      # g transposed (halo)
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(emb2d, wr, g)
+    return de, jnp.sum(dw, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper
+# ---------------------------------------------------------------------------
+
+
+def _pick_bt(b: int, dtype, cfg: ModelConfig, bwd: bool = False) -> int:
+    """Largest batch tile dividing B that keeps VMEM within budget.
+
+    Measured on v5e (F=39, d=16, C1=64, bf16): fwd throughput rises to
+    bt=512 (4.1M ex/s); bwd needs more scratch and compiles/runs best
+    at bt=128 (1.33M ex/s fwd+bwd).
+    """
+    itemsize = jnp.dtype(dtype).itemsize
+    w = cfg.row_width
+    d = cfg.embed_dim
+    p_pad = _round_up(cfg.num_pairs, 8)
+    per_lane = (3 * cfg.num_fields * w + 3 * p_pad * d) * itemsize
+    budget = 48 * 1024 * 1024
+    bt = 128 if bwd else 512
+    while bt > 8 and (bt * per_lane > budget or b % bt != 0):
+        bt //= 2
+    return max(bt, 8)
+
+
+def _prep_w_fwd(w1: jax.Array, cfg: ModelConfig, p_pad: int, dtype) -> jax.Array:
+    """(C1, P, k) -> banded stacked (2*C1, k+1, P_pad).
+
+    w2[0] = [W_0 .. W_{k-1}, 0]; w2[1] = [0, W_0 .. W_{k-1}] along the
+    tap-window axis, so one matmul yields outputs x and x+1.
+    """
+    c1, p, k = w1.shape
+    wt = jnp.swapaxes(w1, 1, 2).astype(dtype)  # (C1, k, P)
+    if p_pad > p:
+        wt = jnp.pad(wt, ((0, 0), (0, 0), (0, p_pad - p)))
+    zero = jnp.zeros((c1, 1, p_pad), dtype)
+    top = jnp.concatenate([wt, zero], axis=1)      # (C1, k+1, P_pad)
+    bottom = jnp.concatenate([zero, wt], axis=1)   # (C1, k+1, P_pad)
+    w2 = jnp.concatenate([top, bottom], axis=0)    # (2*C1, k+1, P_pad)
+    return w2.reshape(2 * c1, (k + 1) * p_pad)
+
+
+def _prep_w_bwd(w1: jax.Array, cfg: ModelConfig, p_pad: int, dtype) -> jax.Array:
+    """(C1, P, k) -> tap-reversed (P_pad, k, C1) for the dM matmuls."""
+    c1, p, k = w1.shape
+    wr = jnp.transpose(w1[:, :, ::-1], (1, 2, 0)).astype(dtype)  # (P, k, C1)
+    if p_pad > p:
+        wr = jnp.pad(wr, ((0, p_pad - p), (0, 0), (0, 0)))
+    return wr.reshape(p_pad, k * c1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def cross_conv1_pallas(emb: jax.Array, w1: jax.Array, cfg: ModelConfig,
+                       bt: int = 0, interpret: bool | None = None) -> jax.Array:
+    y, _ = _cross_conv1_fwd(emb, w1, cfg, bt, interpret)
+    return y
+
+
+def _flatten_emb(emb: jax.Array, cfg: ModelConfig) -> jax.Array:
+    b = emb.shape[0]
+    return emb.reshape(b, cfg.num_fields * cfg.row_width)
+
+
+def _cross_conv1_fwd(emb, w1, cfg, bt, interpret):
+    assert cfg.embed_dim % 2 == 0, "fused kernel requires even embed_dim"
+    if interpret is None:
+        interpret = _auto_interpret()
+    emb2d = _flatten_emb(emb, cfg)
+    b = emb2d.shape[0]
+    if bt == 0:
+        bt = _pick_bt(b, emb2d.dtype, cfg)
+    p_pad = _round_up(cfg.num_pairs, 8)
+    w2 = _prep_w_fwd(w1, cfg, p_pad, emb2d.dtype)
+    y2 = _fwd_pallas(emb2d, w2, cfg, bt, interpret)  # (B, C1*d)
+    c1 = w1.shape[0]
+    y = y2.reshape(b, c1, cfg.embed_dim)
+    return y, (emb, w1)
+
+
+def _cross_conv1_bwd(cfg, bt, interpret, res, gy):
+    emb, w1 = res
+    if interpret is None:
+        interpret = _auto_interpret()
+    emb2d = _flatten_emb(emb, cfg)
+    b = emb2d.shape[0]
+    if bt == 0:
+        bt = _pick_bt(b, emb2d.dtype, cfg, bwd=True)
+    p_pad = _round_up(cfg.num_pairs, 8)
+    wr = _prep_w_bwd(w1, cfg, p_pad, emb2d.dtype)
+    c1, p, k = w1.shape
+    g2 = gy.reshape(b, c1 * cfg.embed_dim).astype(emb2d.dtype)
+    de2, dwp = _bwd_pallas(emb2d, wr, g2, cfg, bt, interpret)
+    de = de2.reshape(emb.shape).astype(emb.dtype)
+    # (k, P_pad, C1) -> (C1, P, k)
+    dw = jnp.transpose(dwp[:, :p, :], (2, 1, 0)).astype(w1.dtype)
+    return de, dw
+
+
+cross_conv1_pallas.defvjp(_cross_conv1_fwd, _cross_conv1_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Drop-in interaction_fn for the model
+# ---------------------------------------------------------------------------
+
+
+def make_interaction_fn(use_pallas: bool = True, bt: int = 0,
+                        interpret: bool | None = None):
+    """Returns interaction_fn(emb, conv_params, cfg) -> flat features.
+
+    Layer 1 runs in the fused Pallas kernel (cross build + conv);
+    bias/ReLU/pool and the remaining (cheap) conv layers run in XLA.
+    """
+
+    def interaction_fn(emb, conv_params, cfg: ModelConfig):
+        if not conv_params:
+            m = build_cross_map(emb, cfg)
+            return m.reshape(m.shape[0], -1)
+        layer1 = conv_params[0]
+        if use_pallas:
+            x = cross_conv1_pallas(emb, layer1["w"], cfg, bt, interpret)
+        else:
+            x = cross_conv1_reference(emb, layer1["w"], cfg)
+        x = x + layer1["b"].astype(x.dtype)[None, :, None]
+        x = jax.nn.relu(x)
+        if cfg.conv_pool > 1:
+            x = jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max,
+                window_dimensions=(1, 1, cfg.conv_pool),
+                window_strides=(1, 1, cfg.conv_pool), padding="VALID",
+            )
+        rest = list(conv_params[1:])
+        if rest:
+            return conv_core_reference(x, rest, cfg)
+        return x.reshape(x.shape[0], -1)
+
+    return interaction_fn

@@ -151,9 +151,21 @@ def evaluate(state: TrainState, batches, cfg: TrainConfig, interaction_fn=None) 
     return {k: float(v) for k, v in out.items()}
 
 
+def default_interaction_fn(cfg: TrainConfig):
+    """The fused Pallas path when enabled; None -> jnp reference."""
+    if cfg.model.use_pallas and cfg.model.conv_channels:
+        from cffm_tpu.ops.interaction_conv import make_interaction_fn
+
+        return make_interaction_fn(use_pallas=True)
+    return None
+
+
 def run(cfg: TrainConfig, interaction_fn=None, log_fn=print) -> Dict:
     """Full train-then-eval for one config. Returns final metrics."""
     from cffm_tpu.data.loader import make_dataset
+
+    if interaction_fn is None:
+        interaction_fn = default_interaction_fn(cfg)
 
     rng = jax.random.key(cfg.data.seed)
     state = create_state(cfg, rng)

@@ -1,0 +1,101 @@
+"""Pallas fused cross+conv kernel vs jnp reference (SURVEY.md §5.2).
+
+Runs in interpret mode on CPU; forward parity and both grad paths
+(embeddings + conv filters) against jax.grad of the reference.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cffm_tpu.config import ModelConfig
+from cffm_tpu.ops.interaction_conv import (
+    cross_conv1_pallas,
+    cross_conv1_reference,
+    make_interaction_fn,
+)
+
+
+def _cfg(cross, f=5, d=8, c1=16, k=3):
+    return ModelConfig(
+        num_fields=f,
+        vocab_sizes=tuple([32] * f),
+        embed_dim=d,
+        cross=cross,
+        conv_channels=(c1,),
+        conv_kernel=k,
+        compute_dtype="float32",
+    )
+
+
+def _emb(cfg, b, seed=0):
+    rng = np.random.default_rng(seed)
+    if cfg.cross == "field_aware":
+        shape = (b, cfg.num_fields, cfg.num_fields, cfg.embed_dim)
+    else:
+        shape = (b, cfg.num_fields, cfg.embed_dim)
+    return jnp.asarray(rng.normal(size=shape), jnp.float32)
+
+
+@pytest.mark.parametrize("cross", ["hadamard", "field_aware"])
+def test_forward_parity(cross):
+    cfg = _cfg(cross)
+    emb = _emb(cfg, 16)
+    w1 = jnp.asarray(
+        np.random.default_rng(1).normal(size=(16, cfg.num_pairs, 3)), jnp.float32
+    )
+    ref = cross_conv1_reference(emb, w1, cfg)
+    got = cross_conv1_pallas(emb, w1, cfg, 8, True)
+    assert got.shape == ref.shape == (16, 16, cfg.embed_dim)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("cross", ["hadamard", "field_aware"])
+def test_grad_parity(cross):
+    cfg = _cfg(cross)
+    emb = _emb(cfg, 16)
+    w1 = jnp.asarray(
+        np.random.default_rng(1).normal(size=(16, cfg.num_pairs, 3)), jnp.float32
+    )
+    gy = jnp.asarray(
+        np.random.default_rng(2).normal(size=(16, 16, cfg.embed_dim)), jnp.float32
+    )
+
+    def loss_ref(e, w):
+        return jnp.sum(cross_conv1_reference(e, w, cfg) * gy)
+
+    def loss_pal(e, w):
+        return jnp.sum(cross_conv1_pallas(e, w, cfg, 8, True) * gy)
+
+    de_ref, dw_ref = jax.grad(loss_ref, argnums=(0, 1))(emb, w1)
+    de_pal, dw_pal = jax.grad(loss_pal, argnums=(0, 1))(emb, w1)
+    np.testing.assert_allclose(np.asarray(de_pal), np.asarray(de_ref), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dw_pal), np.asarray(dw_ref), rtol=1e-4, atol=1e-4)
+
+
+def test_interaction_fn_matches_default_path():
+    """Full interaction_fn (kernel + bias/relu/pool + layer 2) vs pure jnp."""
+    from cffm_tpu.models.cffm import init_params
+    from cffm_tpu.ops.cross import build_cross_map, conv_core_reference
+
+    cfg = ModelConfig(
+        num_fields=5, vocab_sizes=(32,) * 5, embed_dim=8, cross="field_aware",
+        conv_channels=(12, 8), conv_pool=2, compute_dtype="float32",
+    )
+    params = init_params(jax.random.key(0), cfg)
+    emb = _emb(cfg, 16)
+    ref = conv_core_reference(build_cross_map(emb, cfg), params["conv"], cfg)
+    fn = make_interaction_fn(use_pallas=True, bt=8, interpret=True)
+    got = fn(emb, params["conv"], cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_odd_shapes_padding():
+    """num_pairs not a multiple of 8 exercises the P padding path."""
+    cfg = _cfg("hadamard", f=4, d=8, c1=8)  # P = 6
+    emb = _emb(cfg, 8)
+    w1 = jnp.asarray(np.random.default_rng(3).normal(size=(8, 6, 3)), jnp.float32)
+    ref = cross_conv1_reference(emb, w1, cfg)
+    got = cross_conv1_pallas(emb, w1, cfg, 8, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
