@@ -1,0 +1,237 @@
+"""SPMD train/eval steps: row-sharded tables + data-parallel dense.
+
+The whole step runs inside one `shard_map` over the flat "data" axis
+(SURVEY.md §4.1 call stack): routed dedup lookup (all-to-all x2),
+model forward/backward on the local batch shard, pmean of dense grads,
+reverse all-to-all of row grads, and the colocated per-row sparse
+update — the five collective crossings of the survey's hot path.
+
+Dense params and optimizer state are replicated (P()); tables, their
+per-row optimizer state, and the batch ride P("data"). The dense optax
+update runs identically on every shard (inputs are pmean'd), keeping
+replicas bit-identical without a broadcast.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from cffm_tpu import metrics
+from cffm_tpu.config import TrainConfig
+from cffm_tpu.models import cffm as model_lib
+from cffm_tpu.optim.rowwise import make_dense_optimizer, rowwise_init, rowwise_update
+from cffm_tpu.parallel import sharded_embedding as se
+from cffm_tpu.parallel.mesh import make_mesh
+from cffm_tpu.train import TrainState, merge_dense_params, split_dense_params
+
+AXIS = "data"
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def create_sharded_state(cfg: TrainConfig, rng: jax.Array, mesh: Mesh) -> TrainState:
+    """Init with tables/opt-state row-sharded, dense replicated.
+
+    Table storage uses the mod-sharding permutation (see
+    sharded_embedding.py): vocab padded to a multiple of the shard
+    count; logical id g lives at storage row (g % T) * Vs + g // T.
+    Init is i.i.d. so the permutation does not change the distribution.
+    """
+    t = mesh.devices.size
+    mcfg = cfg.model
+    v_pad = _round_up(mcfg.total_vocab, t)
+
+    params = model_lib.init_params(rng, mcfg)
+    # re-create tables at padded size
+    k1, k2 = jax.random.split(rng)
+    table = 0.01 * jax.random.normal(k1, (v_pad, mcfg.row_width),
+                                     dtype=jnp.dtype(mcfg.param_dtype))
+    params["embed"]["table"] = jax.device_put(
+        table, NamedSharding(mesh, P(AXIS, None)))
+    if mcfg.use_first_order:
+        lin = 0.01 * jax.random.normal(k2, (v_pad, 1),
+                                       dtype=jnp.dtype(mcfg.param_dtype))
+        params["linear"]["table"] = jax.device_put(
+            lin, NamedSharding(mesh, P(AXIS, None)))
+
+    repl = NamedSharding(mesh, P())
+    params["conv"] = jax.device_put(params["conv"], repl)
+    params["tower"] = jax.device_put(params["tower"], repl)
+    if mcfg.use_first_order:
+        params["linear"]["bias"] = jax.device_put(params["linear"]["bias"], repl)
+
+    tx = make_dense_optimizer(cfg.optim)
+    dense_opt_state = jax.device_put(tx.init(split_dense_params(params)), repl)
+
+    sharded = NamedSharding(mesh, P(AXIS, None))
+    sparse = {"embed": jax.tree.map(
+        lambda x: jax.device_put(x, sharded) if x.ndim == 2 else jax.device_put(x, repl),
+        rowwise_init(params["embed"]["table"], cfg.optim))}
+    if mcfg.use_first_order:
+        sparse["linear"] = jax.tree.map(
+            lambda x: jax.device_put(x, sharded) if x.ndim == 2 else jax.device_put(x, repl),
+            rowwise_init(params["linear"]["table"], cfg.optim))
+
+    return TrainState(jnp.zeros((), jnp.int32), params, dense_opt_state, sparse)
+
+
+def _local_step(params, dense_opt_state, sparse_opt_state, ids, dense, labels,
+                *, cfg: TrainConfig, capacity: int, interaction_fn):
+    """Per-shard body (runs under shard_map)."""
+    mcfg = cfg.model
+    b_loc, f = ids.shape
+    w = mcfg.row_width
+    cdt = jnp.dtype(mcfg.compute_dtype)
+
+    table_local = params["embed"]["table"]   # (Vs, W) local shard
+    flat_ids = ids.reshape(-1)
+
+    routing = se.build_routing(flat_ids, capacity, AXIS)
+    rows = se.routed_lookup(table_local, routing, AXIS, out_dtype=cdt)
+    emb_rows = rows.reshape(b_loc, f, w)
+    if mcfg.use_first_order:
+        lin_rows = se.routed_lookup(params["linear"]["table"], routing, AXIS,
+                                    out_dtype=jnp.float32).reshape(b_loc, f, 1)
+    else:
+        lin_rows = None
+
+    def loss_fn(dense_params, emb_rows, lin_rows):
+        full = merge_dense_params(params, dense_params)
+        logits = model_lib.forward_from_rows(
+            full, emb_rows, lin_rows, dense, mcfg, interaction_fn=interaction_fn)
+        # global mean logloss: local sum / global batch
+        local_sum = jnp.sum(metrics.sigmoid_bce_with_logits(logits, labels))
+        global_b = b_loc * jax.lax.axis_size(AXIS)
+        return local_sum / global_b, logits
+
+    argnums = (0, 1, 2) if mcfg.use_first_order else (0, 1)
+    grad_fn = jax.value_and_grad(loss_fn, argnums=argnums, has_aux=True)
+    if mcfg.use_first_order:
+        (loss, logits), (dgrads, demb, dlin) = grad_fn(
+            split_dense_params(params), emb_rows, lin_rows)
+    else:
+        (loss, logits), (dgrads, demb) = grad_fn(
+            split_dense_params(params), emb_rows, None)
+        dlin = None
+    loss = jax.lax.psum(loss, AXIS)
+
+    # dense params: psum grads (loss already divided by global batch)
+    dgrads = jax.lax.psum(dgrads, AXIS)
+    tx = make_dense_optimizer(cfg.optim)
+    updates, new_dense_opt = tx.update(dgrads, dense_opt_state,
+                                       split_dense_params(params))
+    new_dense = optax.apply_updates(split_dense_params(params), updates)
+    new_params = merge_dense_params(params, new_dense)
+
+    # sparse: reverse all-to-all, per-row update local to the shard
+    row_ids, row_grads = se.grad_return(
+        demb.reshape(-1, w).astype(jnp.float32), routing, AXIS)
+    new_sparse = dict(sparse_opt_state)
+    new_table, new_sparse["embed"] = rowwise_update(
+        table_local, sparse_opt_state["embed"], row_ids, row_grads, cfg.optim)
+    new_params = dict(new_params, embed={"table": new_table})
+    if mcfg.use_first_order:
+        lrow_ids, lrow_grads = se.grad_return(
+            dlin.reshape(-1, 1).astype(jnp.float32), routing, AXIS)
+        new_lin, new_sparse["linear"] = rowwise_update(
+            params["linear"]["table"], sparse_opt_state["linear"],
+            lrow_ids, lrow_grads, cfg.optim)
+        new_params = dict(new_params, linear=dict(new_params["linear"], table=new_lin))
+
+    step_metrics = {
+        "loss": loss,
+        "overflow": jax.lax.psum(routing.overflow, AXIS),
+    }
+    return new_params, new_dense_opt, new_sparse, step_metrics
+
+
+def make_sharded_train_step(cfg: TrainConfig, mesh: Mesh, interaction_fn=None):
+    t = mesh.devices.size
+    b_glob = cfg.data.batch_size
+    n_local = (b_glob // t) * cfg.model.num_fields
+    capacity = se.pick_capacity(n_local, t, cfg.sharding.id_capacity_factor)
+
+    body = functools.partial(_local_step, cfg=cfg, capacity=capacity,
+                             interaction_fn=interaction_fn)
+
+    sh_table = P(AXIS, None)
+    repl = P()
+
+    params_spec = {
+        "embed": {"table": sh_table},
+        "conv": repl, "tower": repl,
+    }
+    sparse_spec = {"embed": {}}
+    if cfg.model.use_first_order:
+        params_spec["linear"] = {"table": sh_table, "bias": repl}
+
+    def make_sparse_spec(state):
+        return jax.tree.map(lambda x: sh_table if x.ndim == 2 else repl, state)
+
+    def step(state: TrainState, ids, dense, labels):
+        sparse_specs = make_sparse_spec(state.sparse_opt_state)
+        fn = shard_map(
+            body, mesh=mesh,
+            in_specs=(params_spec, repl, sparse_specs,
+                      P(AXIS), repl if dense is None else P(AXIS), P(AXIS)),
+            out_specs=(params_spec, repl, sparse_specs, repl),
+            check_vma=False,
+        )
+        new_params, new_dense_opt, new_sparse, m = fn(
+            state.params, state.dense_opt_state, state.sparse_opt_state,
+            ids, dense, labels)
+        return TrainState(state.step + 1, new_params, new_dense_opt, new_sparse), m
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_sharded_eval_step(cfg: TrainConfig, mesh: Mesh, interaction_fn=None):
+    t = mesh.devices.size
+    b_glob = cfg.data.batch_size
+    n_local = (b_glob // t) * cfg.model.num_fields
+    capacity = se.pick_capacity(n_local, t, cfg.sharding.id_capacity_factor)
+    mcfg = cfg.model
+
+    def body(params, auc_state, ids, dense, labels):
+        b_loc, f = ids.shape
+        cdt = jnp.dtype(mcfg.compute_dtype)
+        routing = se.build_routing(ids.reshape(-1), capacity, AXIS)
+        emb_rows = se.routed_lookup(params["embed"]["table"], routing, AXIS,
+                                    out_dtype=cdt).reshape(b_loc, f, mcfg.row_width)
+        lin_rows = None
+        if mcfg.use_first_order:
+            lin_rows = se.routed_lookup(params["linear"]["table"], routing, AXIS,
+                                        out_dtype=jnp.float32).reshape(b_loc, f, 1)
+        logits = model_lib.forward_from_rows(
+            params, emb_rows, lin_rows, dense, mcfg, interaction_fn=interaction_fn)
+        # each shard updates its local accumulator; merged via psum
+        upd = metrics.auc_state_update(
+            jax.tree.map(jnp.zeros_like, auc_state), logits, labels)
+        return jax.tree.map(lambda a, u: a + jax.lax.psum(u, AXIS), auc_state, upd)
+
+    sh_table = P(AXIS, None)
+    repl = P()
+    params_spec = {"embed": {"table": sh_table}, "conv": repl, "tower": repl}
+    if mcfg.use_first_order:
+        params_spec["linear"] = {"table": sh_table, "bias": repl}
+
+    def step(state: TrainState, auc_state, ids, dense, labels):
+        fn = shard_map(
+            body, mesh=mesh,
+            in_specs=(params_spec, repl, P(AXIS),
+                      repl if dense is None else P(AXIS), P(AXIS)),
+            out_specs=repl,
+            check_vma=False,
+        )
+        return fn(state.params, auc_state, ids, dense, labels)
+
+    return jax.jit(step)

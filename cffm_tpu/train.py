@@ -161,37 +161,68 @@ def default_interaction_fn(cfg: TrainConfig):
 
 
 def run(cfg: TrainConfig, interaction_fn=None, log_fn=print) -> Dict:
-    """Full train-then-eval for one config. Returns final metrics."""
+    """Full train-then-eval for one config.
+
+    Dispatches between the replicated single-device path and the
+    row-sharded SPMD path (cfg.sharding.table_sharded + >1 device).
+    """
     from cffm_tpu.data.loader import make_dataset
 
     if interaction_fn is None:
         interaction_fn = default_interaction_fn(cfg)
 
+    use_sharded = cfg.sharding.table_sharded and jax.device_count() > 1
     rng = jax.random.key(cfg.data.seed)
-    state = create_state(cfg, rng)
-    ds = make_dataset(cfg)
+    ds = make_dataset(cfg, jax.process_index(), jax.process_count())
+
+    if use_sharded:
+        from cffm_tpu.parallel.mesh import make_mesh
+        from cffm_tpu.parallel.sharded_train import (
+            create_sharded_state, make_sharded_eval_step, make_sharded_train_step)
+
+        mesh = make_mesh()
+        state = create_sharded_state(cfg, rng, mesh)
+        step_fn = make_sharded_train_step(cfg, mesh, interaction_fn)
+        eval_fn = make_sharded_eval_step(cfg, mesh, interaction_fn)
+    else:
+        state = create_state(cfg, rng)
+
+        def step_fn(state, ids, dense, labels):
+            return train_step(state, ids, dense, labels, cfg, interaction_fn)
+
+        def eval_fn(state, auc_state, ids, dense, labels):
+            return eval_step(state, auc_state, ids, dense, labels, cfg,
+                             interaction_fn)
 
     t0 = time.time()
     examples = 0
     last_loss = float("nan")
     for step in range(cfg.data.num_train_steps):
         batch = next(ds)
-        state, m = train_step(
+        state, m = step_fn(
             state, jnp.asarray(batch["ids"]),
             None if batch["dense"] is None else jnp.asarray(batch["dense"]),
-            jnp.asarray(batch["labels"]), cfg, interaction_fn,
+            jnp.asarray(batch["labels"]),
         )
         examples += len(batch["labels"])
         if cfg.log_every and (step + 1) % cfg.log_every == 0:
             last_loss = float(m["loss"])
             elapsed = time.time() - t0
-            log_fn(json.dumps({
-                "step": step + 1, "loss": last_loss,
-                "examples_per_s": examples / max(elapsed, 1e-9),
-            }))
+            rec = {"step": step + 1, "loss": last_loss,
+                   "examples_per_s": examples / max(elapsed, 1e-9)}
+            if "overflow" in m:
+                rec["id_overflow"] = int(m["overflow"])
+            log_fn(json.dumps(rec))
 
-    eval_batches = [next(ds) for _ in range(cfg.data.eval_batches)]
-    result = evaluate(state, eval_batches, cfg, interaction_fn)
+    auc_state = metrics.auc_state_init()
+    for _ in range(cfg.data.eval_batches):
+        batch = next(ds)
+        auc_state = eval_fn(
+            state, auc_state, jnp.asarray(batch["ids"]),
+            None if batch["dense"] is None else jnp.asarray(batch["dense"]),
+            jnp.asarray(batch["labels"]),
+        )
+    result = {k: float(v) for k, v in metrics.auc_state_finalize(auc_state).items()}
     result["final_train_loss"] = last_loss
     log_fn(json.dumps({"eval": result}))
     return result

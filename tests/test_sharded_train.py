@@ -1,0 +1,138 @@
+"""Sharded SPMD train step vs single-device reference (the gold test):
+same batch, same init -> same loss trajectory and same tables."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cffm_tpu import train as train_lib
+from cffm_tpu.config import (DataConfig, ModelConfig, OptimizerConfig,
+                             ShardingConfig, TrainConfig)
+from cffm_tpu.models.cffm import field_offsets
+from cffm_tpu.parallel import sharded_embedding as se
+from cffm_tpu.parallel.mesh import make_mesh
+from cffm_tpu.parallel.sharded_train import (create_sharded_state,
+                                             make_sharded_eval_step,
+                                             make_sharded_train_step)
+
+T = 8
+
+
+def _cfg(batch=256):
+    return TrainConfig(
+        name="test",
+        model=ModelConfig(
+            num_fields=5,
+            vocab_sizes=(64, 128, 256, 96, 32),
+            embed_dim=8,
+            cross="field_aware",
+            conv_channels=(8,),
+            conv_pool=2,
+            tower_hidden=(16,),
+            compute_dtype="float32",
+            use_pallas=False,
+        ),
+        optim=OptimizerConfig(sparse_optimizer="adagrad", dense_optimizer="adam"),
+        data=DataConfig(batch_size=batch),
+        sharding=ShardingConfig(table_sharded=True),
+    )
+
+
+def _batch(cfg, seed=0):
+    rng = np.random.default_rng(seed)
+    b = cfg.data.batch_size
+    ids_local = np.stack(
+        [np.minimum(rng.zipf(1.3, size=b) - 1, v - 1) for v in cfg.model.vocab_sizes],
+        axis=1,
+    ).astype(np.int32)
+    ids = jnp.asarray(ids_local + field_offsets(cfg.model)[None, :].astype(np.int32))
+    labels = jnp.asarray((rng.random(b) < 0.4).astype(np.float32))
+    return ids, labels
+
+
+def _replicated_state_from_sharded(sh_state, cfg, t):
+    """Convert sharded state to the natural layout for the reference step."""
+    v = cfg.model.total_vocab
+    params = jax.tree.map(np.asarray, sh_state.params)
+    params["embed"]["table"] = np.asarray(
+        se.from_mod_sharded(jnp.asarray(params["embed"]["table"]), t, v))
+    if cfg.model.use_first_order:
+        params["linear"]["table"] = np.asarray(
+            se.from_mod_sharded(jnp.asarray(params["linear"]["table"]), t, v))
+    sparse = jax.tree.map(np.asarray, sh_state.sparse_opt_state)
+    for key in sparse:
+        sparse[key]["accum"] = np.asarray(
+            se.from_mod_sharded(jnp.asarray(sparse[key]["accum"]), t, v))
+    params_j = jax.tree.map(jnp.asarray, params)
+    sparse_j = jax.tree.map(jnp.asarray, sparse)
+    dense_opt = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), sh_state.dense_opt_state)
+    return train_lib.TrainState(jnp.asarray(np.asarray(sh_state.step)),
+                                params_j, dense_opt, sparse_j)
+
+
+@pytest.mark.parametrize("use_first_order", [True, False])
+def test_sharded_step_matches_reference(eight_devices, use_first_order):
+    cfg = _cfg()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, use_first_order=use_first_order))
+    mesh = make_mesh(8)
+    state = create_sharded_state(cfg, jax.random.key(0), mesh)
+    ref_state = _replicated_state_from_sharded(state, cfg, T)
+
+    step = make_sharded_train_step(cfg, mesh)
+    ids, labels = _batch(cfg)
+
+    new_sh, m_sh = step(state, ids, None, labels)
+    new_ref, m_ref = train_lib.train_step(ref_state, ids, None, labels, cfg)
+
+    assert int(m_sh["overflow"]) == 0
+    np.testing.assert_allclose(float(m_sh["loss"]), float(m_ref["loss"]), rtol=1e-5)
+
+    # dense params identical
+    got = np.asarray(new_sh.params["tower"][0]["w"])
+    want = np.asarray(new_ref.params["tower"][0]["w"])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+    # tables identical after un-permuting
+    v = cfg.model.total_vocab
+    got_t = np.asarray(se.from_mod_sharded(new_sh.params["embed"]["table"], T, v))
+    want_t = np.asarray(new_ref.params["embed"]["table"])
+    np.testing.assert_allclose(got_t, want_t, rtol=1e-4, atol=1e-6)
+
+    # adagrad accumulators identical
+    got_a = np.asarray(se.from_mod_sharded(new_sh.sparse_opt_state["embed"]["accum"], T, v))
+    want_a = np.asarray(new_ref.sparse_opt_state["embed"]["accum"])
+    np.testing.assert_allclose(got_a, want_a, rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_multi_step_loss_decreases(eight_devices):
+    cfg = _cfg()
+    mesh = make_mesh(8)
+    state = create_sharded_state(cfg, jax.random.key(1), mesh)
+    step = make_sharded_train_step(cfg, mesh)
+    losses = []
+    for i in range(10):
+        ids, labels = _batch(cfg, seed=i)
+        state, m = step(state, ids, None, labels)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+    assert all(np.isfinite(losses))
+
+
+def test_sharded_eval_step(eight_devices):
+    from cffm_tpu import metrics
+
+    cfg = _cfg()
+    mesh = make_mesh(8)
+    state = create_sharded_state(cfg, jax.random.key(2), mesh)
+    eval_step = make_sharded_eval_step(cfg, mesh)
+    auc_state = metrics.auc_state_init()
+    for i in range(3):
+        ids, labels = _batch(cfg, seed=100 + i)
+        auc_state = eval_step(state, auc_state, ids, None, labels)
+    out = metrics.auc_state_finalize(auc_state)
+    assert float(out["count"]) == 3 * cfg.data.batch_size
+    assert np.isfinite(float(out["logloss"]))
