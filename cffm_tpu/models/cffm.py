@@ -39,7 +39,7 @@ def init_params(key: jax.Array, cfg: ModelConfig) -> Dict:
 
     params["embed"] = {
         "table": 0.01
-        * jax.random.normal(keys[0], (cfg.total_vocab, cfg.row_width), dtype=pdt)
+        * jax.random.normal(keys[0], (cfg.total_vocab, cfg.table_width), dtype=pdt)
     }
     if cfg.use_first_order:
         params["linear"] = {
@@ -116,6 +116,9 @@ def forward_from_rows(
     b = emb_rows.shape[0]
     cdt = jnp.dtype(cfg.compute_dtype)
     emb = emb_rows.astype(cdt)
+    if cfg.table_width != cfg.row_width:
+        # physical rows are lane-padded; autodiff zero-pads the grads back
+        emb = emb[..., : cfg.row_width]
     if cfg.cross == "field_aware":
         emb = emb.reshape(b, cfg.num_fields, cfg.num_fields, cfg.embed_dim)
 

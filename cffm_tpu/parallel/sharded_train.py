@@ -53,7 +53,7 @@ def create_sharded_state(cfg: TrainConfig, rng: jax.Array, mesh: Mesh) -> TrainS
     params = model_lib.init_params(rng, mcfg)
     # re-create tables at padded size
     k1, k2 = jax.random.split(rng)
-    table = 0.01 * jax.random.normal(k1, (v_pad, mcfg.row_width),
+    table = 0.01 * jax.random.normal(k1, (v_pad, mcfg.table_width),
                                      dtype=jnp.dtype(mcfg.param_dtype))
     params["embed"]["table"] = jax.device_put(
         table, NamedSharding(mesh, P(AXIS, None)))
@@ -89,7 +89,7 @@ def _local_step(params, dense_opt_state, sparse_opt_state, ids, dense, labels,
     """Per-shard body (runs under shard_map)."""
     mcfg = cfg.model
     b_loc, f = ids.shape
-    w = mcfg.row_width
+    w = mcfg.table_width
     cdt = jnp.dtype(mcfg.compute_dtype)
 
     table_local = params["embed"]["table"]   # (Vs, W) local shard
@@ -206,7 +206,7 @@ def make_sharded_eval_step(cfg: TrainConfig, mesh: Mesh, interaction_fn=None):
         cdt = jnp.dtype(mcfg.compute_dtype)
         routing = se.build_routing(ids.reshape(-1), capacity, AXIS)
         emb_rows = se.routed_lookup(params["embed"]["table"], routing, AXIS,
-                                    out_dtype=cdt).reshape(b_loc, f, mcfg.row_width)
+                                    out_dtype=cdt).reshape(b_loc, f, mcfg.table_width)
         lin_rows = None
         if mcfg.use_first_order:
             lin_rows = se.routed_lookup(params["linear"]["table"], routing, AXIS,

@@ -113,7 +113,7 @@ def train_step(
     new_sparse = dict(state.sparse_opt_state)
     new_table, new_sparse["embed"] = rowwise_update(
         new_params["embed"]["table"], state.sparse_opt_state["embed"],
-        flat_ids, demb.reshape(-1, mcfg.row_width), cfg.optim,
+        flat_ids, demb.reshape(-1, mcfg.table_width), cfg.optim,
     )
     new_params = dict(new_params, embed={"table": new_table})
     if mcfg.use_first_order:

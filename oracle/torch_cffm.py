@@ -26,7 +26,8 @@ def forward_numpy(params: dict, ids: np.ndarray, dense, cfg: ModelConfig) -> np.
         table = _t(params["embed"]["table"])
         idt = torch.from_numpy(ids.astype(np.int64))
         b, f = ids.shape
-        rows = F.embedding(idt, table)  # (B, F, W)
+        rows = F.embedding(idt, table)  # (B, F, table_width)
+        rows = rows[..., : cfg.row_width]
 
         if cfg.cross == "field_aware":
             e = rows.view(b, f, f, cfg.embed_dim)
