@@ -65,6 +65,13 @@ class ModelConfig:
         return w
 
     @property
+    def fused_linear(self) -> bool:
+        """First-order weights live in the table's lane-padding column
+        (col row_width) when padding exists: one gather/dedup/scatter
+        serves both the embeddings and the linear term."""
+        return self.use_first_order and self.table_width > self.row_width
+
+    @property
     def total_vocab(self) -> int:
         return int(sum(self.vocab_sizes))
 

@@ -42,10 +42,10 @@ def init_params(key: jax.Array, cfg: ModelConfig) -> Dict:
         * jax.random.normal(keys[0], (cfg.total_vocab, cfg.table_width), dtype=pdt)
     }
     if cfg.use_first_order:
-        params["linear"] = {
-            "table": 0.01 * jax.random.normal(keys[1], (cfg.total_vocab, 1), dtype=pdt),
-            "bias": jnp.zeros((), dtype=pdt),
-        }
+        params["linear"] = {"bias": jnp.zeros((), dtype=pdt)}
+        if not cfg.fused_linear:
+            params["linear"]["table"] = 0.01 * jax.random.normal(
+                keys[1], (cfg.total_vocab, 1), dtype=pdt)
 
     conv_layers = []
     in_ch = cfg.num_pairs
@@ -84,7 +84,7 @@ def embedding_lookup(params: Dict, ids: jax.Array, cfg: ModelConfig):
     """
     emb_rows = jnp.take(params["embed"]["table"], ids, axis=0)
     lin_rows = None
-    if cfg.use_first_order:
+    if cfg.use_first_order and not cfg.fused_linear:
         lin_rows = jnp.take(params["linear"]["table"], ids, axis=0)
     return emb_rows, lin_rows
 
@@ -116,6 +116,9 @@ def forward_from_rows(
     b = emb_rows.shape[0]
     cdt = jnp.dtype(cfg.compute_dtype)
     emb = emb_rows.astype(cdt)
+    if cfg.fused_linear:
+        # first-order weights ride in the padding column (one gather)
+        lin_rows = emb_rows[..., cfg.row_width : cfg.row_width + 1]
     if cfg.table_width != cfg.row_width:
         # physical rows are lane-padded; autodiff zero-pads the grads back
         emb = emb[..., : cfg.row_width]

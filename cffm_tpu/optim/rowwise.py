@@ -51,10 +51,10 @@ def _dedup_sum(row_ids: jax.Array, grads: jax.Array, num_rows: int):
     n = row_ids.shape[0]
     order = jnp.argsort(row_ids)
     sid = row_ids[order]
-    sgrad = grads[order]
+    sgrad = grads[order]  # stays in input dtype (bf16 halves the traffic)
     is_first = jnp.concatenate([jnp.ones((1,), bool), sid[1:] != sid[:-1]])
     seg = jnp.cumsum(is_first) - 1
-    summed = jax.ops.segment_sum(sgrad, seg, num_segments=n)
+    summed = jax.ops.segment_sum(sgrad.astype(jnp.float32), seg, num_segments=n)
     first_pos = jax.ops.segment_min(
         jnp.arange(n), seg, num_segments=n
     )
@@ -82,10 +82,10 @@ def rowwise_update(
     w = table.shape[1]
     assert grads.shape[-1] == w
     row_ids = row_ids.reshape(-1)
-    grads = grads.reshape(-1, w).astype(jnp.float32)
+    grads = grads.reshape(-1, w)  # dedup-summed in f32 downstream
     sentinel_ok = row_ids >= 0
     safe_ids = jnp.where(sentinel_ok, row_ids, 0)
-    grads = jnp.where(sentinel_ok[:, None], grads, 0.0)
+    grads = jnp.where(sentinel_ok[:, None], grads, jnp.zeros((), grads.dtype))
 
     uids, g, valid = _dedup_sum(safe_ids, grads, table.shape[0])
     lr = opt.sparse_lr * lr_scale

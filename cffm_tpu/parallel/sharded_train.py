@@ -57,7 +57,7 @@ def create_sharded_state(cfg: TrainConfig, rng: jax.Array, mesh: Mesh) -> TrainS
                                      dtype=jnp.dtype(mcfg.param_dtype))
     params["embed"]["table"] = jax.device_put(
         table, NamedSharding(mesh, P(AXIS, None)))
-    if mcfg.use_first_order:
+    if mcfg.use_first_order and not mcfg.fused_linear:
         lin = 0.01 * jax.random.normal(k2, (v_pad, 1),
                                        dtype=jnp.dtype(mcfg.param_dtype))
         params["linear"]["table"] = jax.device_put(
@@ -76,7 +76,7 @@ def create_sharded_state(cfg: TrainConfig, rng: jax.Array, mesh: Mesh) -> TrainS
     sparse = {"embed": jax.tree.map(
         lambda x: jax.device_put(x, sharded) if x.ndim == 2 else jax.device_put(x, repl),
         rowwise_init(params["embed"]["table"], cfg.optim))}
-    if mcfg.use_first_order:
+    if mcfg.use_first_order and not mcfg.fused_linear:
         sparse["linear"] = jax.tree.map(
             lambda x: jax.device_put(x, sharded) if x.ndim == 2 else jax.device_put(x, repl),
             rowwise_init(params["linear"]["table"], cfg.optim))
@@ -98,7 +98,8 @@ def _local_step(params, dense_opt_state, sparse_opt_state, ids, dense, labels,
     routing = se.build_routing(flat_ids, capacity, AXIS)
     rows = se.routed_lookup(table_local, routing, AXIS, out_dtype=cdt)
     emb_rows = rows.reshape(b_loc, f, w)
-    if mcfg.use_first_order:
+    separate_linear = mcfg.use_first_order and not mcfg.fused_linear
+    if separate_linear:
         lin_rows = se.routed_lookup(params["linear"]["table"], routing, AXIS,
                                     out_dtype=jnp.float32).reshape(b_loc, f, 1)
     else:
@@ -113,9 +114,9 @@ def _local_step(params, dense_opt_state, sparse_opt_state, ids, dense, labels,
         global_b = b_loc * jax.lax.axis_size(AXIS)
         return local_sum / global_b, logits
 
-    argnums = (0, 1, 2) if mcfg.use_first_order else (0, 1)
+    argnums = (0, 1, 2) if separate_linear else (0, 1)
     grad_fn = jax.value_and_grad(loss_fn, argnums=argnums, has_aux=True)
-    if mcfg.use_first_order:
+    if separate_linear:
         (loss, logits), (dgrads, demb, dlin) = grad_fn(
             split_dense_params(params), emb_rows, lin_rows)
     else:
@@ -139,7 +140,7 @@ def _local_step(params, dense_opt_state, sparse_opt_state, ids, dense, labels,
     new_table, new_sparse["embed"] = rowwise_update(
         table_local, sparse_opt_state["embed"], row_ids, row_grads, cfg.optim)
     new_params = dict(new_params, embed={"table": new_table})
-    if mcfg.use_first_order:
+    if separate_linear:
         lrow_ids, lrow_grads = se.grad_return(
             dlin.reshape(-1, 1).astype(jnp.float32), routing, AXIS)
         new_lin, new_sparse["linear"] = rowwise_update(
@@ -170,9 +171,10 @@ def make_sharded_train_step(cfg: TrainConfig, mesh: Mesh, interaction_fn=None):
         "embed": {"table": sh_table},
         "conv": repl, "tower": repl,
     }
-    sparse_spec = {"embed": {}}
     if cfg.model.use_first_order:
-        params_spec["linear"] = {"table": sh_table, "bias": repl}
+        params_spec["linear"] = (
+            {"bias": repl} if cfg.model.fused_linear
+            else {"table": sh_table, "bias": repl})
 
     def make_sparse_spec(state):
         return jax.tree.map(lambda x: sh_table if x.ndim == 2 else repl, state)
@@ -208,7 +210,7 @@ def make_sharded_eval_step(cfg: TrainConfig, mesh: Mesh, interaction_fn=None):
         emb_rows = se.routed_lookup(params["embed"]["table"], routing, AXIS,
                                     out_dtype=cdt).reshape(b_loc, f, mcfg.table_width)
         lin_rows = None
-        if mcfg.use_first_order:
+        if mcfg.use_first_order and not mcfg.fused_linear:
             lin_rows = se.routed_lookup(params["linear"]["table"], routing, AXIS,
                                         out_dtype=jnp.float32).reshape(b_loc, f, 1)
         logits = model_lib.forward_from_rows(
@@ -222,7 +224,9 @@ def make_sharded_eval_step(cfg: TrainConfig, mesh: Mesh, interaction_fn=None):
     repl = P()
     params_spec = {"embed": {"table": sh_table}, "conv": repl, "tower": repl}
     if mcfg.use_first_order:
-        params_spec["linear"] = {"table": sh_table, "bias": repl}
+        params_spec["linear"] = (
+            {"bias": repl} if mcfg.fused_linear
+            else {"table": sh_table, "bias": repl})
 
     def step(state: TrainState, auc_state, ids, dense, labels):
         fn = shard_map(

@@ -57,7 +57,7 @@ def create_state(cfg: TrainConfig, rng: jax.Array) -> TrainState:
     tx = make_dense_optimizer(cfg.optim)
     dense_opt_state = tx.init(split_dense_params(params))
     sparse = {"embed": rowwise_init(params["embed"]["table"], cfg.optim)}
-    if cfg.model.use_first_order:
+    if cfg.model.use_first_order and not cfg.model.fused_linear:
         sparse["linear"] = rowwise_init(params["linear"]["table"], cfg.optim)
     return TrainState(jnp.zeros((), jnp.int32), params, dense_opt_state, sparse)
 
@@ -84,12 +84,16 @@ def train_step(
     params = state.params
     mcfg = cfg.model
     emb_rows, lin_rows = model_lib.embedding_lookup(params, ids, mcfg)
+    # Cast rows to the compute dtype HERE so the row grads (demb) come
+    # back narrow too — halves the dedup-sort/scatter traffic.
+    emb_rows = emb_rows.astype(jnp.dtype(mcfg.compute_dtype))
 
+    separate_linear = mcfg.use_first_order and not mcfg.fused_linear
     grad_fn = jax.value_and_grad(
-        _loss_from_rows, argnums=(0, 1, 2) if mcfg.use_first_order else (0, 1),
+        _loss_from_rows, argnums=(0, 1, 2) if separate_linear else (0, 1),
         has_aux=True,
     )
-    if mcfg.use_first_order:
+    if separate_linear:
         (loss, logits), (dgrads, demb, dlin) = grad_fn(
             split_dense_params(params), emb_rows, lin_rows, dense, labels, params, cfg,
             interaction_fn,
@@ -116,7 +120,7 @@ def train_step(
         flat_ids, demb.reshape(-1, mcfg.table_width), cfg.optim,
     )
     new_params = dict(new_params, embed={"table": new_table})
-    if mcfg.use_first_order:
+    if separate_linear:
         new_lin, new_sparse["linear"] = rowwise_update(
             new_params["linear"]["table"], state.sparse_opt_state["linear"],
             flat_ids, dlin.reshape(-1, 1), cfg.optim,

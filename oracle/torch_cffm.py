@@ -57,6 +57,10 @@ def forward_numpy(params: dict, ids: np.ndarray, dense, cfg: ModelConfig) -> np.
         logits = (x @ _t(last["w"]) + _t(last["b"]))[:, 0]
 
         if cfg.use_first_order:
-            lin = F.embedding(idt, _t(params["linear"]["table"]))  # (B, F, 1)
+            if cfg.fused_linear:
+                full_rows = F.embedding(idt, table)
+                lin = full_rows[..., cfg.row_width : cfg.row_width + 1]
+            else:
+                lin = F.embedding(idt, _t(params["linear"]["table"]))  # (B, F, 1)
             logits = logits + lin.sum(dim=(1, 2)) + float(np.asarray(params["linear"]["bias"]))
         return logits.numpy()

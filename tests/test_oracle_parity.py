@@ -49,3 +49,30 @@ def test_logits_match_torch_oracle(cross, num_dense):
     )
     torch_logits = torch_forward(np_params, ids, dense, cfg)
     np.testing.assert_allclose(jax_logits, torch_logits, rtol=2e-4, atol=2e-5)
+
+
+def test_logits_match_torch_oracle_padded_fused_linear():
+    """Covers lane-padded tables + fused first-order column (F=15,d=16:
+    row_width 240 -> table_width 256, fused_linear=True)."""
+    cfg = ModelConfig(
+        num_fields=15,
+        vocab_sizes=(50,) * 15,
+        embed_dim=16,
+        cross="field_aware",
+        conv_channels=(8,),
+        conv_pool=2,
+        tower_hidden=(16,),
+        compute_dtype="float32",
+        use_pallas=False,
+    )
+    assert cfg.fused_linear and cfg.table_width == 256
+    params = init_params(jax.random.key(3), cfg)
+    np_params = jax.tree.map(np.asarray, params)
+    rng = np.random.default_rng(11)
+    ids_local = np.stack(
+        [rng.integers(0, v, size=16) for v in cfg.vocab_sizes], axis=1
+    ).astype(np.int32)
+    ids = ids_local + field_offsets(cfg)[None, :].astype(np.int32)
+    jax_logits = np.asarray(forward(params, jnp.asarray(ids), None, cfg))
+    torch_logits = torch_forward(np_params, ids, None, cfg)
+    np.testing.assert_allclose(jax_logits, torch_logits, rtol=2e-4, atol=2e-5)
