@@ -17,7 +17,9 @@ from typing import Iterator, Optional
 import numpy as np
 
 from cffm_tpu.config import TrainConfig
-from cffm_tpu.data.readers import avazu_batches, criteo_batches, movielens_batches
+from cffm_tpu.data.readers import (avazu_batches, avazu_batches_native,
+                                   criteo_batches, criteo_batches_native,
+                                   movielens_batches)
 from cffm_tpu.data.synthetic import SyntheticCTR
 from cffm_tpu.models.cffm import field_offsets
 
@@ -33,9 +35,13 @@ def _raw_iterator(cfg: TrainConfig, process_index: int, process_count: int):
     path_ok = d.path is not None and os.path.exists(d.path)
     per_host = d.batch_size // process_count
     if d.dataset == "criteo" and path_ok:
-        return criteo_batches(d.path, cfg.model, per_host, process_index, process_count)
+        from cffm_tpu.data import native
+        reader = criteo_batches_native if native.available() else criteo_batches
+        return reader(d.path, cfg.model, per_host, process_index, process_count)
     if d.dataset == "avazu" and path_ok:
-        return avazu_batches(d.path, cfg.model, per_host, process_index, process_count)
+        from cffm_tpu.data import native
+        reader = avazu_batches_native if native.available() else avazu_batches
+        return reader(d.path, cfg.model, per_host, process_index, process_count)
     if d.dataset == "movielens" and path_ok:
         return movielens_batches(d.path, cfg.model, per_host, seed=d.seed + process_index)
     return iter(SyntheticCTR(cfg.model, per_host, seed=d.seed + process_index))

@@ -198,10 +198,35 @@ def run(cfg: TrainConfig, interaction_fn=None, log_fn=print) -> Dict:
             return eval_step(state, auc_state, ids, dense, labels, cfg,
                              interaction_fn)
 
+    # checkpoint manager + resume (SURVEY.md §6 checkpoint/resume)
+    ckpt_mgr = None
+    start_step = 0
+    num_shards = jax.device_count() if use_sharded else 1
+    if cfg.checkpoint_dir:
+        from cffm_tpu.checkpoint import CheckpointManager
+
+        ckpt_mgr = CheckpointManager(cfg.checkpoint_dir)
+        if ckpt_mgr.latest_step() is not None:
+            state, meta = ckpt_mgr.restore(state)
+            start_step = int(ckpt_mgr.latest_step())
+            log_fn(json.dumps({"resumed_from_step": start_step,
+                               "checkpoint_meta": meta}))
+
+    def run_eval():
+        auc_state = metrics.auc_state_init()
+        for _ in range(cfg.data.eval_batches):
+            b = next(ds)
+            auc_state = eval_fn(
+                state, auc_state, jnp.asarray(b["ids"]),
+                None if b["dense"] is None else jnp.asarray(b["dense"]),
+                jnp.asarray(b["labels"]),
+            )
+        return {k: float(v) for k, v in metrics.auc_state_finalize(auc_state).items()}
+
     t0 = time.time()
     examples = 0
     last_loss = float("nan")
-    for step in range(cfg.data.num_train_steps):
+    for step in range(start_step, cfg.data.num_train_steps):
         batch = next(ds)
         state, m = step_fn(
             state, jnp.asarray(batch["ids"]),
@@ -217,18 +242,18 @@ def run(cfg: TrainConfig, interaction_fn=None, log_fn=print) -> Dict:
             if "overflow" in m:
                 rec["id_overflow"] = int(m["overflow"])
             log_fn(json.dumps(rec))
+        if cfg.data.eval_every and (step + 1) % cfg.data.eval_every == 0:
+            log_fn(json.dumps({"step": step + 1, "eval": run_eval()}))
+        if ckpt_mgr and cfg.checkpoint_every and (step + 1) % cfg.checkpoint_every == 0:
+            ckpt_mgr.save(step + 1, state, cfg, num_shards=num_shards)
 
-    auc_state = metrics.auc_state_init()
-    for _ in range(cfg.data.eval_batches):
-        batch = next(ds)
-        auc_state = eval_fn(
-            state, auc_state, jnp.asarray(batch["ids"]),
-            None if batch["dense"] is None else jnp.asarray(batch["dense"]),
-            jnp.asarray(batch["labels"]),
-        )
-    result = {k: float(v) for k, v in metrics.auc_state_finalize(auc_state).items()}
+    result = run_eval()
     result["final_train_loss"] = last_loss
     log_fn(json.dumps({"eval": result}))
+    if ckpt_mgr:
+        ckpt_mgr.save(cfg.data.num_train_steps, state, cfg,
+                      num_shards=num_shards, wait=True)
+        ckpt_mgr.close()
     return result
 
 

@@ -1,0 +1,81 @@
+"""Checkpoint save/restore/resume + cross-shard-count resharding."""
+
+import dataclasses
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cffm_tpu import train as train_lib
+from cffm_tpu.checkpoint import CheckpointManager, reshard_tables
+from cffm_tpu.config import DataConfig, ModelConfig, TrainConfig
+from cffm_tpu.models.cffm import field_offsets
+
+
+def _cfg():
+    return TrainConfig(
+        name="ckpt_test",
+        model=ModelConfig(
+            num_fields=4, vocab_sizes=(32, 32, 32, 32), embed_dim=8,
+            cross="field_aware", conv_channels=(8,), tower_hidden=(16,),
+            compute_dtype="float32", use_pallas=False,
+        ),
+        data=DataConfig(batch_size=64),
+    )
+
+
+def _batch(cfg, seed=0):
+    rng = np.random.default_rng(seed)
+    b = cfg.data.batch_size
+    ids = np.stack([rng.integers(0, v, size=b) for v in cfg.model.vocab_sizes],
+                   axis=1).astype(np.int32)
+    ids = jnp.asarray(ids + field_offsets(cfg.model)[None, :].astype(np.int32))
+    labels = jnp.asarray((rng.random(b) < 0.4).astype(np.float32))
+    return ids, labels
+
+
+def test_save_restore_roundtrip():
+    cfg = _cfg()
+    state = train_lib.create_state(cfg, jax.random.key(0))
+    ids, labels = _batch(cfg)
+    state, _ = train_lib.train_step(state, ids, None, labels, cfg)
+
+    with tempfile.TemporaryDirectory() as d:
+        mgr = CheckpointManager(d)
+        mgr.save(1, state, cfg, wait=True)
+        assert mgr.latest_step() == 1
+
+        template = train_lib.create_state(cfg, jax.random.key(99))
+        restored, meta = mgr.restore(template)
+        mgr.close()
+
+    assert meta["config_name"] == "ckpt_test"
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["embed"]["table"]),
+        np.asarray(state.params["embed"]["table"]))
+    np.testing.assert_array_equal(
+        np.asarray(restored.sparse_opt_state["embed"]["accum"]),
+        np.asarray(state.sparse_opt_state["embed"]["accum"]))
+    assert int(restored.step) == int(state.step)
+
+    # resumed training must continue identically
+    ids2, labels2 = _batch(cfg, seed=1)
+    s_a, m_a = train_lib.train_step(state, ids2, None, labels2, cfg)
+    s_b, m_b = train_lib.train_step(restored, ids2, None, labels2, cfg)
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-6)
+
+
+def test_reshard_tables_roundtrip():
+    from cffm_tpu.parallel.sharded_embedding import to_mod_sharded
+
+    cfg = _cfg()
+    state = train_lib.create_state(cfg, jax.random.key(1))
+    natural = np.asarray(state.params["embed"]["table"])
+
+    # natural (1 shard) -> 4 shards -> 8 shards -> back to 1
+    s4 = reshard_tables(state, cfg, 1, 4)
+    s8 = reshard_tables(s4, cfg, 4, 8)
+    s1 = reshard_tables(s8, cfg, 8, 1)
+    np.testing.assert_array_equal(
+        np.asarray(s1.params["embed"]["table"])[: natural.shape[0]], natural)
