@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 import sys
 
 
@@ -46,12 +47,21 @@ def main(argv=None):
     parser.add_argument("--config", required=True, help=f"one of {list_configs()}")
     parser.add_argument("--platform", default=None,
                         help="jax platform override (e.g. cpu for local runs)")
+    parser.add_argument("--distributed", action="store_true",
+                        help="multi-host: call jax.distributed.initialize() "
+                             "(reads JAX coordinator env vars / TPU metadata)")
+    parser.add_argument("--profile_dir", default=None,
+                        help="capture a device trace into this directory")
     args, rest = parser.parse_known_args(argv)
 
     import jax
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.distributed or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        # SPMD process boundary (SURVEY.md §4.3): all hosts join before
+        # any jit call so compilation order matches across processes.
+        jax.distributed.initialize()
 
     try:
         cfg = get_config(args.config)
@@ -66,7 +76,13 @@ def main(argv=None):
 
     from cffm_tpu import train
 
-    result = train.run(cfg)
+    if args.profile_dir:
+        from cffm_tpu.utils.profiling import trace
+
+        with trace(args.profile_dir):
+            result = train.run(cfg)
+    else:
+        result = train.run(cfg)
     return 0 if result.get("auc") == result.get("auc") else 1  # NaN check
 
 
