@@ -250,3 +250,141 @@ def adagrad_update_rows(table: jax.Array, accum: jax.Array, ids: jax.Array,
         interpret=interpret,
     )(ids, hyper, grads.reshape(n, s, 128), table.reshape(v, s, 128), accum)
     return new_t.reshape(v, w), new_a
+
+
+# ---------------------------------------------------------------------------
+# Generic unique-row scatter-add (v2): the fast sparse-update primitive
+# ---------------------------------------------------------------------------
+#
+# table[ids[k]] += deltas[k] for k < nuniq, where ids[:nuniq] are UNIQUE
+# (pre-deduped) and form a prefix (rowwise dedup emits exactly this).
+# Each row is an HBM read-modify-write via (S, 128)-tile DMAs with NBUF
+# slots in flight; iteration bodies are statically unrolled (dynamic
+# 3D stores / wide 1D DMAs crash this jaxlib's AOT compiler).
+
+
+def _scatter_add_kernel(ids_ref, meta_ref, delta_ref, table_ref, table_out,
+                        rows, rsems, wsems, *, g: int, s: int):
+    """Three-phase RMW per grid step (compile-fast fori form):
+      A) gather the g rows into a VMEM block (per-row DMA, unique
+         destinations -> no buffer hazards, ~70GB/s),
+      B) one bulk vectorized add of the delta block,
+      C) scatter-write the block back (mirrored DMA pattern).
+    Per-row dynamic vector ops (the v2 RMW pipeline) measured ~320ns/row;
+    bulk phases avoid them entirely.
+    """
+    base = pl.program_id(0) * g
+    nuniq = meta_ref[0]
+    a = jnp.clip(nuniq - base, 0, g)  # active prefix length this step
+
+    def read_dma(j):
+        rid = ids_ref[base + j] * s
+        return pltpu.make_async_copy(
+            table_ref.at[pl.ds(rid, s), :],
+            rows.at[pl.ds(j * s, s), :], rsems.at[jax.lax.rem(j, NBUF)])
+
+    def write_dma(j):
+        rid = ids_ref[base + j] * s
+        return pltpu.make_async_copy(
+            rows.at[pl.ds(j * s, s), :],
+            table_out.at[pl.ds(rid, s), :], wsems.at[jax.lax.rem(j, NBUF)])
+
+    # --- phase A: gather ---
+    def warm_r(j, _):
+        @pl.when(j < a)
+        def _():
+            read_dma(j).start()
+        return 0
+
+    jax.lax.fori_loop(0, min(NBUF, g), warm_r, 0)
+
+    def body_r(j, _):
+        @pl.when(j < a)
+        def _():
+            read_dma(j).wait()
+
+        @pl.when(j + NBUF < a)
+        def _():
+            read_dma(j + NBUF).start()
+        return 0
+
+    jax.lax.fori_loop(0, g, body_r, 0)
+
+    # --- phase B: bulk add (padding rows add garbage to garbage; the
+    # write phase only persists the active prefix) ---
+    rows[...] = (rows[...].astype(jnp.float32)
+                 + delta_ref[...].astype(jnp.float32)).astype(rows.dtype)
+
+    # --- phase C: scatter write-back ---
+    def warm_w(j, _):
+        @pl.when(j < a)
+        def _():
+            write_dma(j).start()
+        return 0
+
+    jax.lax.fori_loop(0, min(NBUF, g), warm_w, 0)
+
+    def body_w(j, _):
+        @pl.when(j < a)
+        def _():
+            write_dma(j).wait()
+
+        @pl.when(j + NBUF < a)
+        def _():
+            write_dma(j + NBUF).start()
+        return 0
+
+    jax.lax.fori_loop(0, g, body_w, 0)
+
+
+def scatter_add_rows(table: jax.Array, ids: jax.Array, nuniq: jax.Array,
+                     deltas: jax.Array, group: int = 256,
+                     interpret: bool | None = None) -> jax.Array:
+    """table (V, W) += deltas at unique prefix rows. W % 128 == 0.
+
+    ids: (N,) int32, unique valid ids in [0, V) occupying [0, nuniq);
+    entries past nuniq are ignored. deltas: (N, W), any float dtype.
+    Returns the updated table (input aliased/donated).
+    """
+    if interpret is None:
+        interpret = _auto_interpret()
+    v, w = table.shape
+    assert w % 128 == 0, f"scatter_add_rows needs 128-multiple width, got {w}"
+    s = w // 128
+    n = ids.shape[0]
+    if n % group != 0:
+        pad = -n % group
+        ids = jnp.concatenate([ids, jnp.zeros((pad,), ids.dtype)])
+        deltas = jnp.concatenate(
+            [deltas, jnp.zeros((pad, w), deltas.dtype)])
+        n = ids.shape[0]
+
+    meta = jnp.asarray([nuniq], jnp.int32).reshape(1)
+    kernel = functools.partial(_scatter_add_kernel, g=group, s=s)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # ids, meta
+        grid=(n // group,),
+        in_specs=[
+            pl.BlockSpec((group * s, 128), lambda i, ids, meta: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((group * s, 128), table.dtype),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((v * s, 128), table.dtype),
+        input_output_aliases={3: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            has_side_effects=True,
+        ),
+        interpret=interpret,
+    )(ids, meta, deltas.reshape(n * s, 128), table.reshape(v * s, 128))
+    return out.reshape(v, w)

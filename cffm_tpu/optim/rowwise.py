@@ -54,16 +54,14 @@ def _dedup_sum(row_ids: jax.Array, grads: jax.Array, num_rows: int):
     sgrad = grads[order]  # stays in input dtype (bf16 halves the traffic)
     is_first = jnp.concatenate([jnp.ones((1,), bool), sid[1:] != sid[:-1]])
     seg = jnp.cumsum(is_first) - 1
-    summed = jax.ops.segment_sum(sgrad.astype(jnp.float32), seg, num_segments=n)
-    first_pos = jax.ops.segment_min(
-        jnp.arange(n), seg, num_segments=n
-    )
-    seg_ids = jax.ops.segment_max(sid, seg, num_segments=n)
+    summed = jax.ops.segment_sum(sgrad.astype(jnp.float32), seg, num_segments=n,
+                                 indices_are_sorted=True)
+    seg_ids = jax.ops.segment_max(sid, seg, num_segments=n,
+                                  indices_are_sorted=True)
     valid = jnp.arange(n) < (seg[-1] + 1)
     # rows: unique ids (garbage past the end masked to row 0 with zero grad)
     uids = jnp.where(valid, seg_ids, 0)
     ugrads = jnp.where(valid[:, None], summed, 0.0)
-    del first_pos
     return uids, ugrads, valid
 
 
@@ -92,12 +90,18 @@ def rowwise_update(
 
     if opt.sparse_optimizer == "adagrad":
         accum = state["accum"]
+        num_rows = table.shape[0]
+        # uids are unique + ascending within the valid prefix; sentinel
+        # out-of-bounds ids (dropped) keep the hints truthful.
+        uids_s = jnp.where(valid, uids, num_rows)
         g2 = jnp.mean(g * g, axis=-1, keepdims=True)  # row-wise accumulator
-        g2 = jnp.where(valid[:, None], g2, 0.0)
-        new_accum = accum.at[uids].add(g2)
+        new_accum = accum.at[uids_s].add(
+            g2, mode="drop", unique_indices=True, indices_are_sorted=True)
         denom = jnp.sqrt(new_accum[uids]) + opt.eps
-        delta = jnp.where(valid[:, None], -lr * g / denom, 0.0)
-        new_table = table.at[uids].add(delta.astype(table.dtype))
+        delta = -lr * g / denom
+        new_table = table.at[uids_s].add(
+            delta.astype(table.dtype), mode="drop", unique_indices=True,
+            indices_are_sorted=True)
         return new_table, {"accum": new_accum}
 
     if opt.sparse_optimizer == "adam":

@@ -55,3 +55,23 @@ def test_adagrad_update_rows_matches_reference():
         t_ref[rid] -= lr * g / (np.sqrt(a_ref[rid, 0]) + eps)
     np.testing.assert_allclose(np.asarray(new_table), t_ref, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(new_accum), a_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_scatter_add_rows_matches_reference():
+    from cffm_tpu.ops.embedding_kernels import scatter_add_rows
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    table = jnp.asarray(rng.normal(size=(V, 128)), jnp.float32)
+    n = 512
+    nuniq = 300
+    ids_np = np.concatenate([
+        np.sort(rng.permutation(V)[:nuniq]).astype(np.int32),
+        np.zeros(n - nuniq, np.int32)])
+    deltas = jnp.asarray(rng.normal(size=(n, 128)), jnp.float32)
+    got = scatter_add_rows(table, jnp.asarray(ids_np), jnp.int32(nuniq),
+                           deltas, group=128, interpret=True)
+    want = np.asarray(table).copy()
+    for k in range(nuniq):
+        want[ids_np[k]] += np.asarray(deltas[k])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
