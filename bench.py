@@ -28,7 +28,7 @@ def main():
     from cffm_tpu.utils.timing import device_time, measure_rtt
 
     cfg = get_config("criteo_kaggle")
-    batch = 16384
+    batch = 32768
     cfg = dataclasses.replace(cfg, data=dataclasses.replace(cfg.data, batch_size=batch))
 
     rng = np.random.default_rng(0)
