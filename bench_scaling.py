@@ -1,0 +1,87 @@
+"""Scaling sweep: train-step throughput at 1 chip and all visible chips
+(BASELINE.md measurement points: 1 chip / 1 host / >=2 hosts).
+
+Prints one JSON line per configuration plus a scaling-efficiency line
+when more than one device is visible. On the current 1-chip dev rig it
+reports the single-chip point; on a v5e-8 it exercises the row-sharded
+all-to-all engine across all 8 chips.
+"""
+
+import dataclasses
+import json
+import sys
+import time
+
+
+def _measure(step_fn, state, args, batch, rtt, n=10):
+    import jax
+    import jax.numpy as jnp
+
+    state, m = step_fn(state, *args)
+    _ = float(jnp.sum(jax.tree.leaves(m)[0].astype(jnp.float32)))
+    t0 = time.time()
+    for _ in range(n):
+        state, m = step_fn(state, *args)
+    _ = float(jnp.sum(jax.tree.leaves(m)[0].astype(jnp.float32)))
+    dt = max(time.time() - t0 - rtt, 1e-9) / n
+    return batch / dt
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cffm_tpu.config import get_config
+    from cffm_tpu.models.cffm import field_offsets
+    from cffm_tpu.train import create_state, default_interaction_fn, train_step
+    from cffm_tpu.utils.timing import measure_rtt
+
+    ndev = jax.device_count()
+    cfg = get_config("criteo_kaggle")
+    batch = 32768
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, batch_size=batch))
+
+    rng = np.random.default_rng(0)
+    ids_local = np.stack(
+        [rng.integers(0, v, size=batch) for v in cfg.model.vocab_sizes], axis=1
+    ).astype(np.int32)
+    ids = jnp.asarray(ids_local + field_offsets(cfg.model)[None, :].astype(np.int32))
+    dense = jnp.asarray(rng.normal(size=(batch, 13)), jnp.float32)
+    labels = jnp.asarray((rng.random(batch) < 0.3).astype(np.float32))
+    interaction_fn = default_interaction_fn(cfg)
+    rtt = measure_rtt()
+
+    # --- 1 chip (replicated tables) ---
+    state = create_state(cfg, jax.random.key(0))
+
+    def single_step(state, ids, dense, labels):
+        return train_step(state, ids, dense, labels, cfg, interaction_fn)
+
+    single = _measure(single_step, state, (ids, dense, labels), batch, rtt)
+    print(json.dumps({"metric": "examples_per_s", "devices": 1,
+                      "value": round(single, 1)}))
+    del state
+
+    if ndev > 1:
+        # --- all chips (row-sharded tables + DP dense) ---
+        from cffm_tpu.parallel.mesh import make_mesh
+        from cffm_tpu.parallel.sharded_train import (
+            create_sharded_state, make_sharded_train_step)
+
+        scfg = dataclasses.replace(
+            cfg, sharding=dataclasses.replace(cfg.sharding, table_sharded=True))
+        mesh = make_mesh()
+        sstate = create_sharded_state(scfg, jax.random.key(0), mesh)
+        sstep = make_sharded_train_step(scfg, mesh, interaction_fn)
+        multi = _measure(sstep, sstate, (ids, dense, labels), batch, rtt)
+        eff = multi / (single * ndev)
+        print(json.dumps({"metric": "examples_per_s", "devices": ndev,
+                          "value": round(multi, 1),
+                          "scaling_efficiency": round(eff, 3)}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

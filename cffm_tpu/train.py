@@ -180,14 +180,31 @@ def run(cfg: TrainConfig, interaction_fn=None, log_fn=print) -> Dict:
     ds = make_dataset(cfg, jax.process_index(), jax.process_count())
 
     if use_sharded:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         from cffm_tpu.parallel.mesh import make_mesh
         from cffm_tpu.parallel.sharded_train import (
-            create_sharded_state, make_sharded_eval_step, make_sharded_train_step)
+            AXIS, create_sharded_state, make_sharded_eval_step,
+            make_sharded_train_step)
 
         mesh = make_mesh()
         state = create_sharded_state(cfg, rng, mesh)
         step_fn = make_sharded_train_step(cfg, mesh, interaction_fn)
         eval_fn = make_sharded_eval_step(cfg, mesh, interaction_fn)
+        if jax.process_count() > 1:
+            # multi-host: assemble global batch arrays from per-host
+            # shards (SPMD data path, SURVEY.md §4.1)
+            batch_sharding = NamedSharding(mesh, P(AXIS))
+
+            def to_device(x):
+                if x is None:
+                    return None
+                global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+                return jax.make_array_from_process_local_data(
+                    batch_sharding, np.asarray(x), global_shape)
+        else:
+            def to_device(x):
+                return None if x is None else jnp.asarray(x)
     else:
         state = create_state(cfg, rng)
 
@@ -197,6 +214,9 @@ def run(cfg: TrainConfig, interaction_fn=None, log_fn=print) -> Dict:
         def eval_fn(state, auc_state, ids, dense, labels):
             return eval_step(state, auc_state, ids, dense, labels, cfg,
                              interaction_fn)
+
+        def to_device(x):
+            return None if x is None else jnp.asarray(x)
 
     # checkpoint manager + resume (SURVEY.md §6 checkpoint/resume)
     ckpt_mgr = None
@@ -217,9 +237,8 @@ def run(cfg: TrainConfig, interaction_fn=None, log_fn=print) -> Dict:
         for _ in range(cfg.data.eval_batches):
             b = next(ds)
             auc_state = eval_fn(
-                state, auc_state, jnp.asarray(b["ids"]),
-                None if b["dense"] is None else jnp.asarray(b["dense"]),
-                jnp.asarray(b["labels"]),
+                state, auc_state, to_device(b["ids"]), to_device(b["dense"]),
+                to_device(b["labels"]),
             )
         return {k: float(v) for k, v in metrics.auc_state_finalize(auc_state).items()}
 
@@ -229,9 +248,8 @@ def run(cfg: TrainConfig, interaction_fn=None, log_fn=print) -> Dict:
     for step in range(start_step, cfg.data.num_train_steps):
         batch = next(ds)
         state, m = step_fn(
-            state, jnp.asarray(batch["ids"]),
-            None if batch["dense"] is None else jnp.asarray(batch["dense"]),
-            jnp.asarray(batch["labels"]),
+            state, to_device(batch["ids"]), to_device(batch["dense"]),
+            to_device(batch["labels"]),
         )
         examples += len(batch["labels"])
         if cfg.log_every and (step + 1) % cfg.log_every == 0:

@@ -1,0 +1,97 @@
+"""Multi-host SPMD via loopback: 2 processes x 4 virtual CPU devices
+(SURVEY.md §5.3). Each process runs the full sharded train loop through
+train.run with jax.distributed.initialize; losses must match and be
+finite on both hosts."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = r"""
+import os, sys, json
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=sys.argv[1],
+    num_processes=2,
+    process_id=int(sys.argv[2]),
+)
+assert jax.device_count() == 8, jax.device_count()
+assert jax.process_count() == 2
+
+import dataclasses
+from cffm_tpu.config import DataConfig, ModelConfig, ShardingConfig, TrainConfig
+from cffm_tpu import train
+
+cfg = TrainConfig(
+    name="loopback",
+    model=ModelConfig(
+        num_fields=4, vocab_sizes=(64, 64, 64, 64), embed_dim=8,
+        cross="field_aware", conv_channels=(8,), tower_hidden=(16,),
+        compute_dtype="float32", use_pallas=False,
+    ),
+    data=DataConfig(batch_size=256, num_train_steps=4, eval_batches=2, seed=0),
+    sharding=ShardingConfig(table_sharded=True),
+    log_every=1,
+)
+losses = []
+result = train.run(cfg, log_fn=lambda s: losses.append(s))
+print("WORKER_RESULT", int(sys.argv[2]), json.dumps(result), flush=True)
+"""
+
+
+@pytest.mark.skipif(os.environ.get("CFFM_SKIP_MULTIHOST") == "1",
+                    reason="explicitly skipped")
+def test_two_process_loopback(tmp_path):
+    port = _free_port()
+    coord = f"localhost:{port}"
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), coord, str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("loopback workers timed out")
+        outs.append(out)
+
+    results = []
+    for i, out in enumerate(outs):
+        assert procs[i].returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
+        line = [l for l in out.splitlines() if l.startswith("WORKER_RESULT")]
+        assert line, out[-2000:]
+        results.append(line[0])
+
+    import json as _json
+
+    r0 = _json.loads(results[0].split(" ", 2)[2])
+    r1 = _json.loads(results[1].split(" ", 2)[2])
+    assert abs(r0["logloss"] - r1["logloss"]) < 1e-6
+    assert r0["count"] == 2 * 256
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port

@@ -1,0 +1,75 @@
+"""Hypothesis property tests (SURVEY.md §5.1) for the pure-function core."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from cffm_tpu.config import ModelConfig, OptimizerConfig
+from cffm_tpu.data.hashing import bucketize_log2, hash_strings
+from cffm_tpu.ops.cross import build_cross_map, pair_indices
+from cffm_tpu.optim.rowwise import _dedup_sum
+
+
+@given(st.lists(st.binary(min_size=0, max_size=12), min_size=1, max_size=50),
+       st.integers(min_value=1, max_value=10_000))
+@settings(max_examples=25, deadline=None)
+def test_hashing_in_range_and_deterministic(strs, buckets):
+    vals = np.array(strs, dtype="S12")
+    h1 = hash_strings(vals, buckets)
+    h2 = hash_strings(vals, buckets)
+    np.testing.assert_array_equal(h1, h2)
+    assert h1.min() >= 0 and h1.max() < buckets
+
+
+@given(st.lists(st.integers(min_value=-5, max_value=10**9), min_size=1,
+                max_size=100),
+       st.integers(min_value=4, max_value=256))
+@settings(max_examples=25, deadline=None)
+def test_bucketize_monotone(vals, buckets):
+    v = np.sort(np.asarray(vals, dtype=np.int64))
+    out = bucketize_log2(v, buckets)
+    assert (np.diff(out) >= 0).all()
+    assert out.min() >= 0 and out.max() < buckets
+
+
+@given(st.integers(min_value=2, max_value=10))
+@settings(max_examples=9, deadline=None)
+def test_pair_indices_cover_all_pairs(f):
+    pi, pj = pair_indices(f)
+    assert len(pi) == f * (f - 1) // 2
+    assert (pi < pj).all()
+    assert len({(int(a), int(b)) for a, b in zip(pi, pj)}) == len(pi)
+
+
+@given(st.integers(min_value=1, max_value=64), st.integers(min_value=0, max_value=3))
+@settings(max_examples=15, deadline=None)
+def test_dedup_sum_mass_preserved(n, seed):
+    rng = np.random.default_rng(seed)
+    ids = jnp.asarray(rng.integers(0, 8, size=n), jnp.int32)
+    grads = jnp.asarray(rng.normal(size=(n, 4)), jnp.float32)
+    uids, ugrads, valid = _dedup_sum(ids, grads, 8)
+    # total mass preserved
+    np.testing.assert_allclose(
+        np.asarray(ugrads).sum(axis=0), np.asarray(grads).sum(axis=0),
+        rtol=1e-4, atol=1e-4)
+    # valid unique ids match numpy unique
+    nv = int(np.asarray(valid).sum())
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(uids)[:nv]), np.unique(np.asarray(ids)))
+
+
+@given(st.integers(min_value=2, max_value=6), st.integers(min_value=2, max_value=8),
+       st.integers(min_value=0, max_value=5))
+@settings(max_examples=10, deadline=None)
+def test_cross_map_symmetry(f, d, seed):
+    """Swapping the roles inside a pair leaves the map unchanged:
+    p_ij = e_{i->j} * e_{j->i} is commutative in its two factors."""
+    cfg = ModelConfig(num_fields=f, vocab_sizes=(8,) * f, embed_dim=d,
+                      cross="field_aware")
+    rng = np.random.default_rng(seed)
+    e = jnp.asarray(rng.normal(size=(2, f, f, d)), jnp.float32)
+    m1 = build_cross_map(e, cfg)
+    e_swapped = jnp.swapaxes(e, 1, 2)  # e'[i,j] = e[j,i]
+    m2 = build_cross_map(e_swapped, cfg)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-6)
