@@ -82,7 +82,11 @@ def rowwise_update(
     row_ids = row_ids.reshape(-1)
     grads = grads.reshape(-1, w)  # dedup-summed in f32 downstream
     sentinel_ok = row_ids >= 0
-    safe_ids = jnp.where(sentinel_ok, row_ids, 0)
+    # Sentinels route to the out-of-bounds row num_rows (NOT row 0): a
+    # zero-grad "touch" of row 0 is harmless for adagrad but would still
+    # decay Adam's m/v and perturb the table, so sentinels must never
+    # form a real segment. mode="drop" scatters below discard them.
+    safe_ids = jnp.where(sentinel_ok, row_ids, table.shape[0])
     grads = jnp.where(sentinel_ok[:, None], grads, jnp.zeros((), grads.dtype))
 
     uids, g, valid = _dedup_sum(safe_ids, grads, table.shape[0])
@@ -108,20 +112,38 @@ def rowwise_update(
         t = state["t"] + 1
         m = state["m"]
         v = state["v"]
+        num_rows = table.shape[0]
+        # Same sentinel treatment as the adagrad branch: invalid dedup-tail
+        # slots are routed to an out-of-bounds row and dropped, so untouched
+        # rows (incl. row 0, Criteo's missing-value bucket) keep their m/v
+        # bit-exactly.  uids are unique + ascending within the valid prefix.
+        uids_s = jnp.where(valid, uids, num_rows)
         gm = jnp.where(valid[:, None], g, 0.0)
-        new_m = m.at[uids].multiply(opt.adam_b1)
-        new_m = new_m.at[uids].add((1 - opt.adam_b1) * gm)
-        new_v = v.at[uids].multiply(opt.adam_b2)
-        new_v = new_v.at[uids].add((1 - opt.adam_b2) * gm * gm)
+        new_m = m.at[uids_s].multiply(
+            opt.adam_b1, mode="drop", unique_indices=True, indices_are_sorted=True)
+        new_m = new_m.at[uids_s].add(
+            (1 - opt.adam_b1) * gm, mode="drop", unique_indices=True,
+            indices_are_sorted=True)
+        new_v = v.at[uids_s].multiply(
+            opt.adam_b2, mode="drop", unique_indices=True, indices_are_sorted=True)
+        new_v = new_v.at[uids_s].add(
+            (1 - opt.adam_b2) * gm * gm, mode="drop", unique_indices=True,
+            indices_are_sorted=True)
         mhat = new_m[uids] / (1 - opt.adam_b1 ** t.astype(jnp.float32))
         vhat = new_v[uids] / (1 - opt.adam_b2 ** t.astype(jnp.float32))
         delta = jnp.where(valid[:, None], -lr * mhat / (jnp.sqrt(vhat) + opt.eps), 0.0)
-        new_table = table.at[uids].add(delta.astype(table.dtype))
+        new_table = table.at[uids_s].add(
+            delta.astype(table.dtype), mode="drop", unique_indices=True,
+            indices_are_sorted=True)
         return new_table, {"m": new_m, "v": new_v, "t": t}
 
     if opt.sparse_optimizer == "sgd":
+        uids_s = jnp.where(valid, uids, table.shape[0])
         delta = jnp.where(valid[:, None], -lr * g, 0.0)
-        return table.at[uids].add(delta.astype(table.dtype)), state
+        new_table = table.at[uids_s].add(
+            delta.astype(table.dtype), mode="drop", unique_indices=True,
+            indices_are_sorted=True)
+        return new_table, state
 
     raise ValueError(opt.sparse_optimizer)
 

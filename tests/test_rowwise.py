@@ -42,6 +42,53 @@ def test_adagrad_with_duplicates_and_sentinels():
                                rtol=1e-5, atol=1e-6)
 
 
+def _ref_adam(table, m, v, t, ids, grads, lr, b1, b2, eps):
+    tab, m, v = table.copy(), m.copy(), v.copy()
+    t = t + 1
+    uniq = {}
+    for i, g in zip(ids, grads):
+        if i < 0:
+            continue
+        uniq.setdefault(int(i), np.zeros(W, np.float32))
+        uniq[int(i)] += g
+    for i, g in uniq.items():
+        m[i] = b1 * m[i] + (1 - b1) * g
+        v[i] = b2 * v[i] + (1 - b2) * g * g
+        mhat = m[i] / (1 - b1 ** t)
+        vhat = v[i] / (1 - b2 ** t)
+        tab[i] -= lr * mhat / (np.sqrt(vhat) + eps)
+    return tab, m, v
+
+
+def test_adam_with_duplicates_and_sentinels():
+    rng = np.random.default_rng(2)
+    opt = OptimizerConfig(sparse_optimizer="adam", sparse_lr=0.1)
+    table = rng.normal(size=(V, W)).astype(np.float32)
+    ids = rng.integers(1, V, size=100).astype(np.int32)  # never row 0
+    ids[::9] = -1  # sentinels -> dedup tail maps them out of bounds
+    ids[10] = ids[11] = ids[12]  # forced duplicates
+    grads = rng.normal(size=(100, W)).astype(np.float32)
+
+    state = rowwise_init(jnp.asarray(table), opt)
+    # Pre-seed non-zero m/v so decay corruption (the round-1 bug: invalid
+    # dedup-tail slots scattered b1/b2 decay onto row 0) would be visible.
+    state = {"m": jnp.asarray(rng.normal(size=(V, W)), jnp.float32),
+             "v": jnp.asarray(rng.uniform(0.1, 1.0, size=(V, W)), jnp.float32),
+             "t": state["t"]}
+    new_table, new_state = rowwise_update(
+        jnp.asarray(table), state, jnp.asarray(ids), jnp.asarray(grads), opt)
+    want_t, want_m, want_v = _ref_adam(
+        table, np.asarray(state["m"]), np.asarray(state["v"]), 0,
+        ids, grads, opt.sparse_lr, opt.adam_b1, opt.adam_b2, opt.eps)
+    np.testing.assert_allclose(np.asarray(new_table), want_t, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_state["m"]), want_m, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_state["v"]), want_v, rtol=1e-5, atol=1e-6)
+    # Row 0 is untouched by the batch: its state must be BIT-exact.
+    assert bool(jnp.all(new_state["m"][0] == state["m"][0]))
+    assert bool(jnp.all(new_state["v"][0] == state["v"][0]))
+    assert bool(jnp.all(new_table[0] == jnp.asarray(table)[0]))
+
+
 def test_sgd_and_adam_finite():
     rng = np.random.default_rng(1)
     for name in ("sgd", "adam"):
