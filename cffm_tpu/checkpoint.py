@@ -111,8 +111,20 @@ def reshard_tables(state: TrainState, cfg: TrainConfig,
     if "linear" in params and "table" in params["linear"]:
         params["linear"] = dict(params["linear"],
                                 table=remap(params["linear"]["table"]))
-    sparse = jax.tree.map(lambda x: x, state.sparse_opt_state)
-    for key in sparse:
-        if "accum" in sparse[key]:
-            sparse[key]["accum"] = remap(sparse[key]["accum"])
+    # Remap EVERY table-shaped leaf of the sparse state (adagrad accum,
+    # Adam m/v, any future per-row state) — scalars like Adam's t pass
+    # through. A leaf is table-shaped iff it is 2-D with one row per
+    # (padded) vocab row.
+    from_pad = _round_up(v, from_shards)
+
+    def remap_leaf(x):
+        if getattr(x, "ndim", 0) == 2 and x.shape[0] == from_pad:
+            return remap(x)
+        return x
+
+    sparse = jax.tree.map(remap_leaf, state.sparse_opt_state)
     return TrainState(state.step, params, state.dense_opt_state, sparse)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m

@@ -22,6 +22,22 @@ import numpy as np
 from cffm_tpu.config import ModelConfig
 from cffm_tpu.data.hashing import bucketize_log2, hash_strings
 
+# Sakamoto's day-of-week table (0 = Sunday); used for Avazu's YYMMDD
+# timestamps. Bit-matched by the C++ parser (native/cffm_native.cpp).
+_SAKAMOTO = np.array([0, 3, 2, 5, 0, 3, 5, 1, 4, 6, 2, 4], dtype=np.int64)
+
+
+def day_of_week_yymmdd(yymmdd: np.ndarray) -> np.ndarray:
+    """Real day-of-week (0=Sunday) from YYMMDD ints (years 2000-2099)."""
+    yymmdd = np.asarray(yymmdd, dtype=np.int64)
+    y = 2000 + yymmdd // 10000
+    m = (yymmdd // 100) % 100
+    d = yymmdd % 100
+    m = np.clip(m, 1, 12)
+    y = y - (m < 3)
+    return ((y + y // 4 - y // 100 + y // 400 + _SAKAMOTO[m - 1] + d) % 7).astype(
+        np.int32)
+
 
 def _chunked_lines(path: str, chunk: int, shard_index: int = 0, num_shards: int = 1,
                    skip_header: bool = False, repeat: bool = True):
@@ -43,6 +59,36 @@ def _chunked_lines(path: str, chunk: int, shard_index: int = 0, num_shards: int 
             return
 
 
+def _rebatch(chunks, batch_size: int):
+    """Re-accumulate variable-size (ids, dense, label) chunks into exact
+    batch_size batches (the static-shape sharded train step requires it;
+    the native readers do the same). Leftover tail rows are dropped when
+    the source is exhausted (non-repeat mode)."""
+    pending = []
+    count = 0
+    for ids, dense, label in chunks:
+        if len(ids) == 0:
+            continue
+        pending.append((ids, dense, label))
+        count += len(ids)
+        while count >= batch_size:
+            all_ids = np.concatenate([p[0] for p in pending])
+            all_dense = (np.concatenate([p[1] for p in pending])
+                         if pending[0][1] is not None else None)
+            all_lab = np.concatenate([p[2] for p in pending])
+            yield (all_ids[:batch_size],
+                   None if all_dense is None else all_dense[:batch_size],
+                   all_lab[:batch_size])
+            rem = all_ids[batch_size:]
+            if len(rem):
+                pending = [(rem,
+                            None if all_dense is None else all_dense[batch_size:],
+                            all_lab[batch_size:])]
+            else:
+                pending = []
+            count = len(rem)
+
+
 def criteo_batches(
     path: str, cfg: ModelConfig, batch_size: int,
     shard_index: int = 0, num_shards: int = 1, repeat: bool = True,
@@ -50,22 +96,33 @@ def criteo_batches(
     """Criteo TSV -> (ids, dense, label). 39 fields: 13 bucketized ints
     + 26 hashed categoricals; ints also pass through as log1p dense."""
     assert cfg.num_fields == 39
-    for lines in _chunked_lines(path, batch_size, shard_index, num_shards, repeat=repeat):
-        rows = np.array([ln.rstrip(b"\n").split(b"\t") for ln in lines], dtype=object)
-        n = len(rows)
-        if rows.shape[1] < 40:
-            continue
-        label = rows[:, 0].astype(np.float32)
-        ints_raw = rows[:, 1:14]
-        ints = np.where(ints_raw == b"", b"-1", ints_raw).astype(np.int64)
-        ids = np.empty((n, 39), dtype=np.int32)
-        for i in range(13):
-            ids[:, i] = bucketize_log2(ints[:, i], cfg.vocab_sizes[i])
-        for i in range(26):
-            col = rows[:, 14 + i].astype("S16")
-            ids[:, 13 + i] = hash_strings(col, cfg.vocab_sizes[13 + i])
-        dense = np.log1p(np.maximum(ints, 0)).astype(np.float32) if cfg.num_dense else None
-        yield ids, dense, label
+
+    def chunks():
+        for lines in _chunked_lines(path, batch_size, shard_index, num_shards,
+                                    repeat=repeat):
+            # filter malformed rows (wrong field count) before np.array —
+            # ragged rows would otherwise raise, and undersized arrays
+            # would break the static-shape train step
+            parts = [p for p in (ln.rstrip(b"\n").split(b"\t") for ln in lines)
+                     if len(p) == 40]
+            if not parts:
+                continue
+            rows = np.array(parts, dtype=object)
+            n = len(rows)
+            label = rows[:, 0].astype(np.float32)
+            ints_raw = rows[:, 1:14]
+            ints = np.where(ints_raw == b"", b"-1", ints_raw).astype(np.int64)
+            ids = np.empty((n, 39), dtype=np.int32)
+            for i in range(13):
+                ids[:, i] = bucketize_log2(ints[:, i], cfg.vocab_sizes[i])
+            for i in range(26):
+                col = rows[:, 14 + i].astype("S16")
+                ids[:, 13 + i] = hash_strings(col, cfg.vocab_sizes[13 + i])
+            dense = (np.log1p(np.maximum(ints, 0)).astype(np.float32)
+                     if cfg.num_dense else None)
+            yield ids, dense, label
+
+    return _rebatch(chunks(), batch_size)
 
 
 def avazu_batches(
@@ -74,24 +131,30 @@ def avazu_batches(
 ) -> Iterator[Tuple[np.ndarray, Optional[np.ndarray], np.ndarray]]:
     """Avazu CSV -> 23 fields: hour-of-day, day-of-week + 21 hashed cats."""
     assert cfg.num_fields == 23
-    for lines in _chunked_lines(path, batch_size, shard_index, num_shards,
-                                skip_header=True, repeat=repeat):
-        rows = np.array([ln.rstrip(b"\n").split(b",") for ln in lines], dtype=object)
-        n = len(rows)
-        if rows.shape[1] < 24:
-            continue
-        label = rows[:, 1].astype(np.float32)
-        hour_str = rows[:, 2].astype("S8")  # YYMMDDHH
-        hh = np.array([int(h[-2:]) for h in hour_str], dtype=np.int32)
-        yymmdd = np.array([int(h[:6]) for h in hour_str], dtype=np.int64)
-        dow = (yymmdd % 7).astype(np.int32)  # proxy day-of-week
-        ids = np.empty((n, 23), dtype=np.int32)
-        ids[:, 0] = np.minimum(hh, cfg.vocab_sizes[0] - 1)
-        ids[:, 1] = np.minimum(dow, cfg.vocab_sizes[1] - 1)
-        for i in range(21):
-            col = rows[:, 3 + i].astype("S24")
-            ids[:, 2 + i] = hash_strings(col, cfg.vocab_sizes[2 + i])
-        yield ids, None, label
+
+    def chunks():
+        for lines in _chunked_lines(path, batch_size, shard_index, num_shards,
+                                    skip_header=True, repeat=repeat):
+            parts = [p for p in (ln.rstrip(b"\n").split(b",") for ln in lines)
+                     if len(p) == 24]
+            if not parts:
+                continue
+            rows = np.array(parts, dtype=object)
+            n = len(rows)
+            label = rows[:, 1].astype(np.float32)
+            hour_str = rows[:, 2].astype("S8")  # YYMMDDHH
+            hh = np.array([int(h[-2:]) for h in hour_str], dtype=np.int32)
+            yymmdd = np.array([int(h[:6]) for h in hour_str], dtype=np.int64)
+            dow = day_of_week_yymmdd(yymmdd)
+            ids = np.empty((n, 23), dtype=np.int32)
+            ids[:, 0] = np.minimum(hh, cfg.vocab_sizes[0] - 1)
+            ids[:, 1] = np.minimum(dow, cfg.vocab_sizes[1] - 1)
+            for i in range(21):
+                col = rows[:, 3 + i].astype("S24")
+                ids[:, 2 + i] = hash_strings(col, cfg.vocab_sizes[2 + i])
+            yield ids, None, label
+
+    return _rebatch(chunks(), batch_size)
 
 
 def movielens_batches(

@@ -359,6 +359,10 @@ def _flatten_emb(emb: jax.Array, cfg: ModelConfig) -> jax.Array:
 
 def _cross_conv1_fwd(emb, w1, cfg, bt, interpret):
     assert cfg.embed_dim % 2 == 0, "fused kernel requires even embed_dim"
+    # The M2T halo (1 zero row each side), the kw=k+1 tap window, and the
+    # bwd gp halo are all sized for k=3; other widths take the reference
+    # path (make_interaction_fn routes them there automatically).
+    assert cfg.conv_kernel == 3, "fused kernel supports conv_kernel=3 only"
     if interpret is None:
         interpret = _auto_interpret()
     emb2d = _flatten_emb(emb, cfg)
@@ -413,7 +417,7 @@ def make_interaction_fn(use_pallas: bool = True, bt: int = 0,
             m = build_cross_map(emb, cfg)
             return m.reshape(m.shape[0], -1)
         layer1 = conv_params[0]
-        if use_pallas:
+        if use_pallas and cfg.conv_kernel == 3 and cfg.embed_dim % 2 == 0:
             x = cross_conv1_pallas(emb, layer1["w"], cfg, bt, interpret)
         else:
             x = cross_conv1_reference(emb, layer1["w"], cfg)

@@ -55,6 +55,19 @@ inline long parse_int(const char* s, long n, long fallback) {
   return sign * v;
 }
 
+// Sakamoto's algorithm (0 = Sunday); bit-matches
+// cffm_tpu/data/readers.py day_of_week_yymmdd (years 2000-2099).
+inline int32_t day_of_week_yymmdd(long yymmdd) {
+  static const int t[12] = {0, 3, 2, 5, 0, 3, 5, 1, 4, 6, 2, 4};
+  long y = 2000 + yymmdd / 10000;
+  long m = (yymmdd / 100) % 100;
+  long d = yymmdd % 100;
+  if (m < 1) m = 1;
+  if (m > 12) m = 12;
+  if (m < 3) y -= 1;
+  return static_cast<int32_t>((y + y / 4 - y / 100 + y / 400 + t[m - 1] + d) % 7);
+}
+
 }  // namespace
 
 extern "C" {
@@ -152,7 +165,9 @@ long parse_avazu(const char* buf, long len, long batch_cap,
             long yymmdd = parse_int(s, 6, 0);
             long v0 = vocab_sizes[0] - 1;
             ids[0] = static_cast<int32_t>(hh < v0 ? hh : v0);
-            ids[1] = static_cast<int32_t>(yymmdd % 7);
+            long dow = day_of_week_yymmdd(yymmdd);
+            long v1 = vocab_sizes[1] - 1;
+            ids[1] = static_cast<int32_t>(dow < v1 ? dow : v1);
           } else {
             ok = false;
           }

@@ -79,3 +79,36 @@ def test_reshard_tables_roundtrip():
     s1 = reshard_tables(s8, cfg, 8, 1)
     np.testing.assert_array_equal(
         np.asarray(s1.params["embed"]["table"])[: natural.shape[0]], natural)
+
+
+def test_reshard_remaps_adam_state():
+    """Every table-shaped sparse-state leaf (Adam m/v, not just adagrad
+    accum) must ride the same permutation as the table."""
+    from cffm_tpu.config import OptimizerConfig
+
+    cfg = dataclasses.replace(_cfg(), optim=OptimizerConfig(sparse_optimizer="adam"))
+    state = train_lib.create_state(cfg, jax.random.key(2))
+    ids, labels = _batch(cfg)
+    state, _ = train_lib.train_step(state, ids, None, labels, cfg)  # non-zero m/v
+
+    m_nat = np.asarray(state.sparse_opt_state["embed"]["m"])
+    v_nat = np.asarray(state.sparse_opt_state["embed"]["v"])
+    t_nat = int(state.sparse_opt_state["embed"]["t"])
+    assert np.abs(m_nat).max() > 0
+
+    s4 = reshard_tables(state, cfg, 1, 4)
+    s1 = reshard_tables(s4, cfg, 4, 1)
+    np.testing.assert_array_equal(
+        np.asarray(s1.sparse_opt_state["embed"]["m"])[: m_nat.shape[0]], m_nat)
+    np.testing.assert_array_equal(
+        np.asarray(s1.sparse_opt_state["embed"]["v"])[: v_nat.shape[0]], v_nat)
+    assert int(s1.sparse_opt_state["embed"]["t"]) == t_nat
+    # in the 4-shard layout, m must be permuted exactly like the table
+    tab_nat = np.asarray(state.params["embed"]["table"])
+    tab_s4 = np.asarray(s4.params["embed"]["table"])
+    m_s4 = np.asarray(s4.sparse_opt_state["embed"]["m"])
+    row_of = {tuple(tab_nat[r]): r for r in range(tab_nat.shape[0])}
+    for r in range(0, tab_s4.shape[0], 7):
+        key = tuple(tab_s4[r])
+        if key in row_of:
+            np.testing.assert_array_equal(m_s4[r], m_nat[row_of[key]])

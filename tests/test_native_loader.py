@@ -88,7 +88,8 @@ def test_parse_avazu_matches_python():
     np.testing.assert_array_equal(
         labels, np.array([float(r[1]) for r in rows], np.float32))
     hh = np.array([int(r[2][-2:]) for r in rows])
-    dow = np.array([int(r[2][:6]) % 7 for r in rows])
+    from cffm_tpu.data.readers import day_of_week_yymmdd
+    dow = day_of_week_yymmdd(np.array([int(r[2][:6]) for r in rows]))
     np.testing.assert_array_equal(ids[:, 0], np.minimum(hh, cfg.vocab_sizes[0] - 1))
     np.testing.assert_array_equal(ids[:, 1], dow)
     for f in range(21):

@@ -7,19 +7,21 @@ import pytest
 from cffm_tpu.config import get_config
 from cffm_tpu.data import native
 from cffm_tpu.data.readers import (avazu_batches, criteo_batches,
-                                   criteo_batches_native)
+                                   criteo_batches_native, day_of_week_yymmdd)
 
 
 @pytest.fixture()
 def criteo_file(tmp_path):
     rng = np.random.default_rng(0)
     lines = []
-    for _ in range(300):
+    for i in range(300):
         label = rng.integers(0, 2)
         ints = [("" if rng.random() < 0.2 else str(rng.integers(-1, 5000)))
                 for _ in range(13)]
         cats = [f"{rng.integers(0, 2**32):08x}" for _ in range(26)]
         lines.append("\t".join([str(label)] + ints + cats))
+        if i == 150:  # malformed row: both readers must skip it
+            lines.append("1\tgarbage\trow")
     p = tmp_path / "criteo.tsv"
     p.write_text("\n".join(lines) + "\n")
     return str(p)
@@ -62,3 +64,27 @@ def test_avazu_python_reader(tmp_path):
     ids, dense, labels = next(avazu_batches(str(p), cfg, 128, repeat=False))
     assert ids.shape == (128, 23) and dense is None
     assert ids[:, 0].max() < 24 and ids[:, 1].max() < 7
+
+
+def test_day_of_week_real_calendar():
+    # Known dates (0 = Sunday): 2014-10-21 Tue, 2014-10-31 Fri,
+    # 2014-11-01 Sat (month boundary), 2014-12-31 Wed, 2015-01-01 Thu
+    # (year boundary), 2016-02-29 Mon (leap day), 2016-03-01 Tue.
+    got = day_of_week_yymmdd(
+        np.array([141021, 141031, 141101, 141231, 150101, 160229, 160301]))
+    np.testing.assert_array_equal(got, [2, 5, 6, 3, 4, 1, 2])
+    # the old yymmdd % 7 proxy breaks exactly at these rollovers:
+    assert (141101 - 141031) % 7 == 0  # proxy would collide, real dow differs
+
+
+def test_python_reader_exact_batches_across_chunks(criteo_file):
+    # 300 valid rows + 1 malformed; chunk loss from the malformed row and
+    # filtering must re-accumulate to exact batch_size batches.
+    cfg = get_config("criteo_kaggle").model
+    batches = list(criteo_batches(criteo_file, cfg, 128, repeat=False))
+    assert [len(b[2]) for b in batches] == [128, 128]  # 300 rows -> 2 full
+    # repeat mode wraps the epoch and keeps yielding exact batches
+    it = criteo_batches(criteo_file, cfg, 128, repeat=True)
+    for _ in range(5):
+        ids, dense, labels = next(it)
+        assert ids.shape == (128, 39)
