@@ -10,14 +10,21 @@ Measures the complete train step (lookup + fused Pallas cross-conv
 fwd/bwd + tower + per-row Adagrad + optax) on the Criteo-Kaggle
 flagship config with synthetic data, using the RTT-corrected harness
 (cffm_tpu/utils/timing.py — the axon relay's block_until_ready lies).
+
+Resilience: any RESOURCE_EXHAUSTED (or other device error) retries at
+half batch, and the JSON line is printed no matter what — a benchmark
+that crashes depending on prior device state is not a benchmark
+(round-1 lesson: BENCH_r01 was an OOM with zero headroom).
 """
 
 import dataclasses
 import json
 import sys
+import time
 
 
-def main():
+def _run_once(batch: int) -> float:
+    """Train-step examples/s at this batch size (raises on device error)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -25,10 +32,9 @@ def main():
     from cffm_tpu.config import get_config
     from cffm_tpu.models.cffm import field_offsets
     from cffm_tpu.train import create_state, default_interaction_fn, train_step
-    from cffm_tpu.utils.timing import device_time, measure_rtt
+    from cffm_tpu.utils.timing import measure_rtt
 
     cfg = get_config("criteo_kaggle")
-    batch = 32768
     cfg = dataclasses.replace(cfg, data=dataclasses.replace(cfg.data, batch_size=batch))
 
     rng = np.random.default_rng(0)
@@ -45,10 +51,7 @@ def main():
     # train_step is already jit'd WITH state donation — call it directly
     # (an extra non-donating jit wrapper would double the table in HBM).
     state, _ = train_step(state, ids, dense, labels, cfg, interaction_fn)
-
     rtt = measure_rtt()
-
-    import time
 
     n = 10
     t0 = time.time()
@@ -57,14 +60,37 @@ def main():
     _ = float(m["loss"])
     total = time.time() - t0
     dt = max(total - rtt, 1e-9) / n
+    return batch / dt
 
-    value = batch / dt
+
+def main():
+    batch = 32768
+    value = 0.0
+    error = None
+    while batch >= 4096:
+        try:
+            value = _run_once(batch)
+            error = None
+            break
+        except Exception as e:  # noqa: BLE001 — resilience is the point
+            error = f"{type(e).__name__} at batch={batch}"
+            sys.stderr.write(f"bench: {error}: {e}\n")
+            batch //= 2
+            try:
+                import jax
+                jax.clear_caches()
+            except Exception:  # noqa: BLE001
+                pass
+
     out = {
         "metric": "criteo_kaggle_train_step_examples_per_s_per_chip",
         "value": round(value, 1),
         "unit": "examples/s",
         "vs_baseline": round(value / 125000.0, 3),
+        "batch": batch,
     }
+    if error:
+        out["error"] = error
     print(json.dumps(out))
     return 0
 

@@ -1,0 +1,203 @@
+"""Streamed per-row sparse-update Pallas kernel (adagrad / sgd).
+
+Why: XLA's scatter-add on TPU is latency-bound per index slot — measured
+80 ms for 1.27M row-updates into the 6.6 GB Criteo table (~40 GB/s,
+~8x off HBM speed), dominating the train step. This kernel applies the
+same dedup'd updates by STREAMING the table through VMEM in R-row tiles
+(contiguous DMA at full HBM bandwidth) and scattering each tile's
+updates with a one-hot MXU matmul — no per-row dynamic ops anywhere.
+
+Contract (matches optim.rowwise._dedup_sum output):
+  uids (M,) int32 ascending; unique valid prefix in [0, V); the invalid
+  tail holds the sentinel V (>= every tile range, so it never matches).
+  gsum (M, W) f32 duplicate-summed gradients (zeros in the tail).
+
+Per tile t covering rows [tR, tR+R):
+  - its entries occupy a CONTIGUOUS slice of (uids, gsum) — at most R of
+    them (unique ids within R rows) — so a window of WINB fixed
+    128-entry blocks starting at block lo[t]//128 always covers them
+    (lo = searchsorted(uids, tile_starts), computed outside the kernel;
+    WINB = (R-1)//128 + 2);
+  - onehot[r, j] = (uids_win[j] - tR == r) selects exactly the tile's
+    entries; out-of-tile and sentinel entries contribute zero columns;
+  - adagrad: acc_tile += onehot @ mean(g^2, axis=-1);
+    delta = -lr * g / (sqrt(acc_new) + eps) — identical to the sparse
+    scatter path for touched rows; untouched rows see g = 0 => exact
+    no-op (the dense form is semantically equal);
+  - table_tile += onehot_bf16 @ delta_bf16 with f32 MXU accumulation:
+    each output row receives exactly one delta row (ids are unique), so
+    the only approximation is bf16 rounding of the DELTA (<= 0.4%
+    relative on the increment, not the weight).
+
+The tile size must divide V (pick_tile); configs whose vocab admits no
+tile >= 64 fall back to the XLA scatter path in optim.rowwise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+EB = 128  # entry-window block: one (EB,) id row / one (EB, W) gsum block
+
+
+def _auto_interpret() -> bool:
+    return jax.devices()[0].platform not in ("tpu", "axon")
+
+
+def pick_tile(num_rows: int) -> int:
+    """Largest supported tile size dividing num_rows (0 = unsupported)."""
+    for r in (512, 256, 128, 64):
+        if num_rows % r == 0:
+            return r
+    return 0
+
+
+def win_blocks(r: int) -> int:
+    """Window blocks: <= r entries starting anywhere within a block."""
+    return (r - 1) // EB + 2
+
+
+def padded_entries(m: int, r: int) -> int:
+    """Entry-array length that makes every window block index valid."""
+    return ((m + EB - 1) // EB) * EB + win_blocks(r) * EB
+
+
+def _kernel(lo_ref, hyper_ref, *refs, r: int, winb: int, adagrad: bool):
+    """refs: u_0..u_{winb-1} (1,EB) i32, g_0..g_{winb-1} (EB,W) f32,
+    table_in (R,W), [acc_in (R,1)], table_out (R,W), [acc_out (R,1)]."""
+    u_refs = refs[:winb]
+    g_refs = refs[winb : 2 * winb]
+    if adagrad:
+        table_in, acc_in, table_out, acc_out = refs[2 * winb : 2 * winb + 4]
+    else:
+        table_in, table_out = refs[2 * winb : 2 * winb + 2]
+
+    lr = hyper_ref[0]
+    eps = hyper_ref[1]
+    base = pl.program_id(0) * r
+
+    uw = jnp.concatenate([u[...] for u in u_refs], axis=1)  # (1, WE)
+    gwin = jnp.concatenate([g[...] for g in g_refs], axis=0)  # (WE, W)
+    we = winb * EB
+
+    local = uw - base  # entries of this tile land in [0, R)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (r, we), 0)
+    onehot = local == iota_r  # (R, WE): one True per in-tile entry column
+
+    if adagrad:
+        oh_f32 = onehot.astype(jnp.float32)
+        g2 = jnp.mean(gwin * gwin, axis=1, keepdims=True)  # (WE, 1)
+        acc_new = acc_in[...] + jax.lax.dot_general(
+            oh_f32, g2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (R, 1)
+        acc_win = jax.lax.dot_general(
+            oh_f32, acc_new, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (WE, 1)
+        delta = (-lr) * gwin / (jnp.sqrt(acc_win) + eps)
+        acc_out[...] = acc_new
+    else:
+        delta = (-lr) * gwin
+
+    upd = jax.lax.dot_general(
+        onehot.astype(jnp.bfloat16), delta.astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    table_out[...] = table_in[...] + upd
+
+
+def streamed_rowwise_apply(
+    table: jax.Array,
+    accum: jax.Array | None,
+    uids: jax.Array,
+    gsum: jax.Array,
+    lr: float | jax.Array,
+    eps: float | jax.Array,
+    r: int | None = None,
+    interpret: bool | None = None,
+):
+    """Apply -lr*g/(sqrt(acc)+eps) (adagrad) or -lr*g (sgd) at unique rows.
+
+    table (V, W) f32 with W % 128 == 0 and pick_tile(V) > 0;
+    accum (V, 1) f32 or None; uids/gsum per the module contract.
+    Returns (new_table, new_accum).
+    """
+    if interpret is None:
+        interpret = _auto_interpret()
+    v, w = table.shape
+    assert w % 128 == 0, f"streamed update needs 128-multiple width, got {w}"
+    if r is None:
+        r = pick_tile(v)
+    assert r and v % r == 0, f"no supported tile divides num_rows={v}"
+    adagrad = accum is not None
+    winb = win_blocks(r)
+
+    # Pad entries so every window block index is valid (no-op when the
+    # caller pre-sized M via padded_entries).
+    m = uids.shape[0]
+    m_pad = padded_entries(m, r)
+    if m_pad != m:
+        uids = jnp.concatenate(
+            [uids, jnp.full((m_pad - m,), v, jnp.int32)])
+        gsum = jnp.concatenate(
+            [gsum, jnp.zeros((m_pad - m, w), gsum.dtype)])
+
+    # Per-tile first-entry offset -> window start block (scalar prefetch).
+    t_full = v // r
+    tile_starts = jnp.arange(t_full, dtype=jnp.int32) * r
+    lo = jnp.searchsorted(uids, tile_starts).astype(jnp.int32)
+    lo_blk = jnp.minimum(lo // EB, m_pad // EB - winb)
+
+    hyper = jnp.stack([jnp.asarray(lr, jnp.float32),
+                       jnp.asarray(eps, jnp.float32)])
+    uids2d = uids.reshape(m_pad // EB, EB)
+
+    def u_spec(k):
+        return pl.BlockSpec((1, EB), lambda t, lo_ref, hyp: (lo_ref[t] + k, 0),
+                            memory_space=pltpu.VMEM)
+
+    def g_spec(k):
+        return pl.BlockSpec((EB, w), lambda t, lo_ref, hyp: (lo_ref[t] + k, 0),
+                            memory_space=pltpu.VMEM)
+
+    tile_spec = pl.BlockSpec((r, w), lambda t, lo_ref, hyp: (t, 0),
+                             memory_space=pltpu.VMEM)
+    acc_spec = pl.BlockSpec((r, 1), lambda t, lo_ref, hyp: (t, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = ([u_spec(k) for k in range(winb)]
+                + [g_spec(k) for k in range(winb)] + [tile_spec])
+    in_arrays = [uids2d] * winb + [gsum] * winb + [table]
+    out_shape = [jax.ShapeDtypeStruct((v, w), table.dtype)]
+    out_specs = [tile_spec]
+    # alias keys count the scalar-prefetch operands (lo_blk, hyper)
+    io_aliases = {2 + 2 * winb: 0}
+    if adagrad:
+        in_specs.append(acc_spec)
+        in_arrays.append(accum)
+        out_shape.append(jax.ShapeDtypeStruct((v, 1), accum.dtype))
+        out_specs.append(acc_spec)
+        io_aliases[3 + 2 * winb] = 1
+
+    kernel = functools.partial(_kernel, r=r, winb=winb, adagrad=adagrad)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t_full,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases=io_aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(lo_blk, hyper, *in_arrays)
+    if adagrad:
+        return outs[0], outs[1]
+    return outs[0], None

@@ -23,6 +23,12 @@ import optax
 from cffm_tpu.config import OptimizerConfig
 
 
+def unique_bound(vocab_sizes, batch_size: int) -> int:
+    """Static bound on distinct row ids in a (batch, fields) id block:
+    per field at most min(vocab, batch) distinct rows; +1 sentinel slot."""
+    return int(sum(min(int(v), batch_size) for v in vocab_sizes)) + 1
+
+
 def rowwise_init(table: jax.Array, opt: OptimizerConfig) -> Dict:
     v = table.shape[0]
     if opt.sparse_optimizer == "adagrad":
@@ -40,25 +46,33 @@ def rowwise_init(table: jax.Array, opt: OptimizerConfig) -> Dict:
     raise ValueError(opt.sparse_optimizer)
 
 
-def _dedup_sum(row_ids: jax.Array, grads: jax.Array, num_rows: int):
+def _dedup_sum(row_ids: jax.Array, grads: jax.Array, num_rows: int,
+               max_unique: int | None = None):
     """Sum duplicate-row grads; returns (unique-ish ids, summed grads, touched mask).
 
     Static-shape implementation: scatter-add into a dense (num_rows, W)
     buffer would defeat the purpose for big tables, so instead sort ids
-    and segment-sum within the batch (N stays the static size; each
-    distinct row's total lands at its first occurrence, zeros elsewhere).
+    and segment-sum within the batch; each distinct row's total lands at
+    its first occurrence, zeros elsewhere.
+
+    `max_unique`: static upper bound on the distinct-id count (e.g.
+    sum_f min(vocab_f, batch) for a per-field batch, or the local shard
+    row count). Shrinks the f32 segment-sum transient AND the scatter
+    slot count — measured 1.5x on the table scatter at Criteo bench
+    shapes (scatter cost scales with index slots, not unique rows).
     """
     n = row_ids.shape[0]
+    m = n if max_unique is None else min(n, int(max_unique))
     order = jnp.argsort(row_ids)
     sid = row_ids[order]
     sgrad = grads[order]  # stays in input dtype (bf16 halves the traffic)
     is_first = jnp.concatenate([jnp.ones((1,), bool), sid[1:] != sid[:-1]])
-    seg = jnp.cumsum(is_first) - 1
-    summed = jax.ops.segment_sum(sgrad.astype(jnp.float32), seg, num_segments=n,
+    seg = jnp.cumsum(is_first) - 1  # < m by construction when the bound holds
+    summed = jax.ops.segment_sum(sgrad.astype(jnp.float32), seg, num_segments=m,
                                  indices_are_sorted=True)
-    seg_ids = jax.ops.segment_max(sid, seg, num_segments=n,
+    seg_ids = jax.ops.segment_max(sid, seg, num_segments=m,
                                   indices_are_sorted=True)
-    valid = jnp.arange(n) < (seg[-1] + 1)
+    valid = jnp.arange(m) < (seg[-1] + 1)
     # rows: unique ids (garbage past the end masked to row 0 with zero grad)
     uids = jnp.where(valid, seg_ids, 0)
     ugrads = jnp.where(valid[:, None], summed, 0.0)
@@ -72,10 +86,13 @@ def rowwise_update(
     grads: jax.Array,
     opt: OptimizerConfig,
     lr_scale: float = 1.0,
+    max_unique: int | None = None,
 ) -> Tuple[jax.Array, Dict]:
     """Apply a sparse per-row update. row_ids (N,), grads (N, W).
 
     Duplicates are pre-summed; sentinel id < 0 rows are dropped.
+    max_unique: optional static bound on distinct ids (incl. one slot
+    for the sentinel bucket); see _dedup_sum.
     """
     w = table.shape[1]
     assert grads.shape[-1] == w
@@ -89,7 +106,7 @@ def rowwise_update(
     safe_ids = jnp.where(sentinel_ok, row_ids, table.shape[0])
     grads = jnp.where(sentinel_ok[:, None], grads, jnp.zeros((), grads.dtype))
 
-    uids, g, valid = _dedup_sum(safe_ids, grads, table.shape[0])
+    uids, g, valid = _dedup_sum(safe_ids, grads, table.shape[0], max_unique)
     lr = opt.sparse_lr * lr_scale
 
     if opt.sparse_optimizer == "adagrad":

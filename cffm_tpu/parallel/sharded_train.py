@@ -136,16 +136,19 @@ def _local_step(params, dense_opt_state, sparse_opt_state, ids, dense, labels,
     # sparse: reverse all-to-all, per-row update local to the shard
     row_ids, row_grads = se.grad_return(
         demb.reshape(-1, w).astype(jnp.float32), routing, AXIS)
+    # distinct local rows are bounded by the shard's row count
+    max_u = int(table_local.shape[0]) + 1
     new_sparse = dict(sparse_opt_state)
     new_table, new_sparse["embed"] = rowwise_update(
-        table_local, sparse_opt_state["embed"], row_ids, row_grads, cfg.optim)
+        table_local, sparse_opt_state["embed"], row_ids, row_grads, cfg.optim,
+        max_unique=max_u)
     new_params = dict(new_params, embed={"table": new_table})
     if separate_linear:
         lrow_ids, lrow_grads = se.grad_return(
             dlin.reshape(-1, 1).astype(jnp.float32), routing, AXIS)
         new_lin, new_sparse["linear"] = rowwise_update(
             params["linear"]["table"], sparse_opt_state["linear"],
-            lrow_ids, lrow_grads, cfg.optim)
+            lrow_ids, lrow_grads, cfg.optim, max_unique=max_u)
         new_params = dict(new_params, linear=dict(new_params["linear"], table=new_lin))
 
     step_metrics = {

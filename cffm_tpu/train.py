@@ -25,7 +25,8 @@ import optax
 from cffm_tpu import metrics
 from cffm_tpu.config import TrainConfig
 from cffm_tpu.models import cffm as model_lib
-from cffm_tpu.optim.rowwise import make_dense_optimizer, rowwise_init, rowwise_update
+from cffm_tpu.optim.rowwise import (make_dense_optimizer, rowwise_init,
+                                    rowwise_update, unique_bound)
 
 
 class TrainState(NamedTuple):
@@ -114,16 +115,18 @@ def train_step(
 
     # Sparse per-row updates on the touched rows.
     flat_ids = ids.reshape(-1)
+    max_u = unique_bound(mcfg.vocab_sizes, ids.shape[0])
     new_sparse = dict(state.sparse_opt_state)
     new_table, new_sparse["embed"] = rowwise_update(
         new_params["embed"]["table"], state.sparse_opt_state["embed"],
         flat_ids, demb.reshape(-1, mcfg.table_width), cfg.optim,
+        max_unique=max_u,
     )
     new_params = dict(new_params, embed={"table": new_table})
     if separate_linear:
         new_lin, new_sparse["linear"] = rowwise_update(
             new_params["linear"]["table"], state.sparse_opt_state["linear"],
-            flat_ids, dlin.reshape(-1, 1), cfg.optim,
+            flat_ids, dlin.reshape(-1, 1), cfg.optim, max_unique=max_u,
         )
         new_params = dict(new_params, linear=dict(new_params["linear"], table=new_lin))
 
