@@ -99,6 +99,10 @@ class OptimizerConfig:
     adam_b2: float = 0.999
     eps: float = 1e-8
     weight_decay: float = 0.0
+    # Streamed table update (ops/streamed_update.py): "auto" enables the
+    # full-table streaming Pallas kernel when the touched-row density
+    # and table size make it beat the XLA scatter; "on"/"off" force it.
+    streamed_update: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -110,6 +114,10 @@ class DataConfig:
     num_train_steps: int = 1000
     eval_every: int = 0  # 0 = eval only at the end
     eval_batches: int = 32
+    # Held-out split: every val_every-th chunk/example is reserved for
+    # eval and never trained on (0 disables; eval then reuses the train
+    # stream — only sensible for smoke tests). SURVEY.md §5.4.
+    val_every: int = 10
     seed: int = 0
 
 

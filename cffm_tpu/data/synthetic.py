@@ -24,19 +24,27 @@ class SyntheticCTR:
     labels: (B,) float32 in {0, 1}.
     """
 
-    def __init__(self, cfg: ModelConfig, batch_size: int, seed: int = 0):
+    def __init__(self, cfg: ModelConfig, batch_size: int, seed: int = 0,
+                 stream_seed: int | None = None):
+        """seed fixes the planted WORLD (latents); stream_seed the SAMPLE
+        stream. Train/val splits share the world but draw disjoint
+        streams (different stream_seed), so val measures generalization
+        on the same label function — and multi-host readers share one
+        world while sampling per-host streams."""
         self.cfg = cfg
         self.batch_size = batch_size
-        self.rng = np.random.default_rng(seed)
+        world = np.random.default_rng(seed)
+        self.rng = np.random.default_rng(
+            seed if stream_seed is None else stream_seed)
         f = cfg.num_fields
         # Planted model: random per-(field-id) latent factors; label from
         # pairwise dot products of a low-dim latent + noise.
         k = 4
         self._latents = [
-            self.rng.normal(0.0, 1.0, size=(min(v, 512), k)).astype(np.float32)
+            world.normal(0.0, 1.0, size=(min(v, 512), k)).astype(np.float32)
             for v in cfg.vocab_sizes
         ]
-        self._pair_w = self.rng.normal(0.0, 1.0, size=(f, f)).astype(np.float32) / f
+        self._pair_w = world.normal(0.0, 1.0, size=(f, f)).astype(np.float32) / f
         self._bias = -0.3
 
     def next_batch(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

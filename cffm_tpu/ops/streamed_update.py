@@ -5,7 +5,7 @@ Why: XLA's scatter-add on TPU is latency-bound per index slot — measured
 ~8x off HBM speed), dominating the train step. This kernel applies the
 same dedup'd updates by STREAMING the table through VMEM in R-row tiles
 (contiguous DMA at full HBM bandwidth) and scattering each tile's
-updates with a one-hot MXU matmul — no per-row dynamic ops anywhere.
+updates with one-hot MXU matmuls — no per-row dynamic ops anywhere.
 
 Contract (matches optim.rowwise._dedup_sum output):
   uids (M,) int32 ascending; unique valid prefix in [0, V); the invalid
@@ -18,16 +18,20 @@ Per tile t covering rows [tR, tR+R):
     128-entry blocks starting at block lo[t]//128 always covers them
     (lo = searchsorted(uids, tile_starts), computed outside the kernel;
     WINB = (R-1)//128 + 2);
-  - onehot[r, j] = (uids_win[j] - tR == r) selects exactly the tile's
-    entries; out-of-tile and sentinel entries contribute zero columns;
-  - adagrad: acc_tile += onehot @ mean(g^2, axis=-1);
+  - the full uids array stays VMEM-resident (M*4 bytes, a few MB; the
+    TPU lowering rejects (1, 128) blocked int32 inputs, and whole-array
+    residency makes the window slice a cheap in-VMEM read);
+  - per window block k: onehot_k[r, e] = (uids[lo+k, e] - tR == r)
+    selects exactly the tile's entries in that block; out-of-tile and
+    sentinel entries contribute zero columns;
+  - adagrad: acc_tile += sum_k onehot_k @ mean(g_k^2, axis=-1);
     delta = -lr * g / (sqrt(acc_new) + eps) — identical to the sparse
     scatter path for touched rows; untouched rows see g = 0 => exact
     no-op (the dense form is semantically equal);
-  - table_tile += onehot_bf16 @ delta_bf16 with f32 MXU accumulation:
-    each output row receives exactly one delta row (ids are unique), so
-    the only approximation is bf16 rounding of the DELTA (<= 0.4%
-    relative on the increment, not the weight).
+  - table_tile += sum_k onehot_k_bf16 @ delta_k_bf16 with f32 MXU
+    accumulation: each table row receives exactly one delta row (ids
+    are unique), so the only approximation is bf16 rounding of the
+    DELTA (<= 0.4% relative on the increment, not the weight).
 
 The tile size must divide V (pick_tile); configs whose vocab admits no
 tile >= 64 fall back to the XLA scatter path in optim.rowwise.
@@ -42,7 +46,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-EB = 128  # entry-window block: one (EB,) id row / one (EB, W) gsum block
+EB = 128  # entry-window block: one uids row / one (EB, W) gsum block
+MAX_RESIDENT_IDS_BYTES = 32 * 1024 * 1024  # uids VMEM residency guard
 
 
 def _auto_interpret() -> bool:
@@ -67,45 +72,58 @@ def padded_entries(m: int, r: int) -> int:
     return ((m + EB - 1) // EB) * EB + win_blocks(r) * EB
 
 
+def supported(num_rows: int, width: int, m: int) -> bool:
+    r = pick_tile(num_rows)
+    return (r > 0 and width % 128 == 0
+            and padded_entries(m, r) * 4 <= MAX_RESIDENT_IDS_BYTES)
+
+
 def _kernel(lo_ref, hyper_ref, *refs, r: int, winb: int, adagrad: bool):
-    """refs: u_0..u_{winb-1} (1,EB) i32, g_0..g_{winb-1} (EB,W) f32,
-    table_in (R,W), [acc_in (R,1)], table_out (R,W), [acc_out (R,1)]."""
-    u_refs = refs[:winb]
-    g_refs = refs[winb : 2 * winb]
+    """refs: uids (M/EB, EB) i32 resident, g_0..g_{winb-1} (EB, W) f32,
+    table_in (R, W), [acc_in (R, 1)], table_out (R, W), [acc_out (R, 1)]."""
+    u_ref = refs[0]
+    g_refs = refs[1 : 1 + winb]
     if adagrad:
-        table_in, acc_in, table_out, acc_out = refs[2 * winb : 2 * winb + 4]
+        table_in, acc_in, table_out, acc_out = refs[1 + winb : 5 + winb]
     else:
-        table_in, table_out = refs[2 * winb : 2 * winb + 2]
+        table_in, table_out = refs[1 + winb : 3 + winb]
 
     lr = hyper_ref[0]
     eps = hyper_ref[1]
-    base = pl.program_id(0) * r
+    t = pl.program_id(0)
+    lo = lo_ref[t]
+    base = t * r
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (r, EB), 0)
 
-    uw = jnp.concatenate([u[...] for u in u_refs], axis=1)  # (1, WE)
-    gwin = jnp.concatenate([g[...] for g in g_refs], axis=0)  # (WE, W)
-    we = winb * EB
-
-    local = uw - base  # entries of this tile land in [0, R)
-    iota_r = jax.lax.broadcasted_iota(jnp.int32, (r, we), 0)
-    onehot = local == iota_r  # (R, WE): one True per in-tile entry column
+    def onehot(k):
+        u_k = u_ref[pl.ds(lo + k, 1), :]  # (1, EB) int32
+        return (u_k - base) == iota_r  # (R, EB)
 
     if adagrad:
-        oh_f32 = onehot.astype(jnp.float32)
-        g2 = jnp.mean(gwin * gwin, axis=1, keepdims=True)  # (WE, 1)
-        acc_new = acc_in[...] + jax.lax.dot_general(
-            oh_f32, g2, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (R, 1)
-        acc_win = jax.lax.dot_general(
-            oh_f32, acc_new, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (WE, 1)
-        delta = (-lr) * gwin / (jnp.sqrt(acc_win) + eps)
+        acc_new = acc_in[...]
+        for k in range(winb):
+            g_k = g_refs[k][...]
+            g2_k = jnp.mean(g_k * g_k, axis=1, keepdims=True)  # (EB, 1)
+            acc_new = acc_new + jax.lax.dot_general(
+                onehot(k).astype(jnp.float32), g2_k,
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         acc_out[...] = acc_new
-    else:
-        delta = (-lr) * gwin
 
-    upd = jax.lax.dot_general(
-        onehot.astype(jnp.bfloat16), delta.astype(jnp.bfloat16),
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    upd = jnp.zeros((r, table_in.shape[1]), jnp.float32)
+    for k in range(winb):
+        oh_k = onehot(k)
+        g_k = g_refs[k][...]
+        if adagrad:
+            acc_win = jax.lax.dot_general(
+                oh_k.astype(jnp.float32), acc_new,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (EB, 1)
+            delta_k = (-lr) * g_k / (jnp.sqrt(acc_win) + eps)
+        else:
+            delta_k = (-lr) * g_k
+        upd = upd + jax.lax.dot_general(
+            oh_k.astype(jnp.bfloat16), delta_k.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     table_out[...] = table_in[...] + upd
 
 
@@ -140,10 +158,8 @@ def streamed_rowwise_apply(
     m = uids.shape[0]
     m_pad = padded_entries(m, r)
     if m_pad != m:
-        uids = jnp.concatenate(
-            [uids, jnp.full((m_pad - m,), v, jnp.int32)])
-        gsum = jnp.concatenate(
-            [gsum, jnp.zeros((m_pad - m, w), gsum.dtype)])
+        uids = jnp.concatenate([uids, jnp.full((m_pad - m,), v, jnp.int32)])
+        gsum = jnp.concatenate([gsum, jnp.zeros((m_pad - m, w), gsum.dtype)])
 
     # Per-tile first-entry offset -> window start block (scalar prefetch).
     t_full = v // r
@@ -155,9 +171,9 @@ def streamed_rowwise_apply(
                        jnp.asarray(eps, jnp.float32)])
     uids2d = uids.reshape(m_pad // EB, EB)
 
-    def u_spec(k):
-        return pl.BlockSpec((1, EB), lambda t, lo_ref, hyp: (lo_ref[t] + k, 0),
-                            memory_space=pltpu.VMEM)
+    uids_spec = pl.BlockSpec((m_pad // EB, EB),
+                             lambda t, lo_ref, hyp: (0, 0),
+                             memory_space=pltpu.VMEM)
 
     def g_spec(k):
         return pl.BlockSpec((EB, w), lambda t, lo_ref, hyp: (lo_ref[t] + k, 0),
@@ -168,19 +184,18 @@ def streamed_rowwise_apply(
     acc_spec = pl.BlockSpec((r, 1), lambda t, lo_ref, hyp: (t, 0),
                             memory_space=pltpu.VMEM)
 
-    in_specs = ([u_spec(k) for k in range(winb)]
-                + [g_spec(k) for k in range(winb)] + [tile_spec])
-    in_arrays = [uids2d] * winb + [gsum] * winb + [table]
+    in_specs = [uids_spec] + [g_spec(k) for k in range(winb)] + [tile_spec]
+    in_arrays = [uids2d] + [gsum] * winb + [table]
     out_shape = [jax.ShapeDtypeStruct((v, w), table.dtype)]
     out_specs = [tile_spec]
     # alias keys count the scalar-prefetch operands (lo_blk, hyper)
-    io_aliases = {2 + 2 * winb: 0}
+    io_aliases = {3 + winb: 0}
     if adagrad:
         in_specs.append(acc_spec)
         in_arrays.append(accum)
         out_shape.append(jax.ShapeDtypeStruct((v, 1), accum.dtype))
         out_specs.append(acc_spec)
-        io_aliases[3 + 2 * winb] = 1
+        io_aliases[4 + winb] = 1
 
     kernel = functools.partial(_kernel, r=r, winb=winb, adagrad=adagrad)
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -79,6 +79,34 @@ def _dedup_sum(row_ids: jax.Array, grads: jax.Array, num_rows: int,
     return uids, ugrads, valid
 
 
+def _should_stream(table: jax.Array, opt: OptimizerConfig, n_ids: int,
+                   max_unique: int | None) -> bool:
+    """Whether the full-table streaming kernel beats the XLA scatter.
+
+    Streaming reads+writes the whole table once (contiguous, HBM-speed);
+    the XLA scatter costs ~60ns per index slot. Streaming wins when the
+    table is big AND a significant fraction of its rows is touched
+    (measured crossover around a few percent on v5e; threshold 8% for
+    margin). Small tables stay on the exact-f32 scatter path.
+    """
+    mode = getattr(opt, "streamed_update", "auto")
+    if mode == "off":
+        return False
+    if opt.sparse_optimizer not in ("adagrad", "sgd"):
+        return False
+    v, w = table.shape
+    if w % 128 != 0 or table.dtype != jnp.float32:
+        return False
+    from cffm_tpu.ops.streamed_update import pick_tile
+
+    if pick_tile(v) == 0:
+        return False
+    if mode == "on":
+        return True
+    touched = min(n_ids, max_unique) if max_unique else n_ids
+    return v * w >= (1 << 24) and touched >= 0.08 * v
+
+
 def rowwise_update(
     table: jax.Array,
     state: Dict,
@@ -106,8 +134,30 @@ def rowwise_update(
     safe_ids = jnp.where(sentinel_ok, row_ids, table.shape[0])
     grads = jnp.where(sentinel_ok[:, None], grads, jnp.zeros((), grads.dtype))
 
+    use_streamed = _should_stream(table, opt, row_ids.shape[0], max_unique)
+    if use_streamed:
+        # Pre-size the dedup output so the kernel's entry windows need no
+        # extra padding pass (see ops/streamed_update.padded_entries).
+        from cffm_tpu.ops.streamed_update import padded_entries, pick_tile
+
+        r = pick_tile(table.shape[0])
+        max_unique = padded_entries(
+            min(row_ids.shape[0], max_unique or row_ids.shape[0]), r)
+
     uids, g, valid = _dedup_sum(safe_ids, grads, table.shape[0], max_unique)
     lr = opt.sparse_lr * lr_scale
+
+    if use_streamed:
+        from cffm_tpu.ops.streamed_update import streamed_rowwise_apply
+
+        uids_s = jnp.where(valid, uids, table.shape[0]).astype(jnp.int32)
+        if opt.sparse_optimizer == "adagrad":
+            new_table, new_accum = streamed_rowwise_apply(
+                table, state["accum"], uids_s, g, lr, opt.eps)
+            return new_table, {"accum": new_accum}
+        new_table, _ = streamed_rowwise_apply(
+            table, None, uids_s, g, lr, opt.eps)
+        return new_table, state
 
     if opt.sparse_optimizer == "adagrad":
         accum = state["accum"]

@@ -1,0 +1,111 @@
+"""Streamed table-update kernel vs the exact XLA scatter path.
+
+Runs in Pallas interpret mode on CPU (conftest). The streamed path's
+only approximation is bf16 rounding of the per-row DELTA, so the table
+is compared on the increment (new - old) at bf16-level relative
+tolerance, while untouched rows and the f32 accumulator must match
+(near-)exactly.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cffm_tpu.config import OptimizerConfig
+from cffm_tpu.optim.rowwise import rowwise_init, rowwise_update
+
+V, W = 1024, 128  # pick_tile(1024) = 512 -> 2 tiles
+
+
+def _mk(seed, n_ids=600, v=V, w=W):
+    rng = np.random.default_rng(seed)
+    table = rng.normal(size=(v, w)).astype(np.float32)
+    ids = rng.integers(0, v, size=n_ids).astype(np.int32)
+    ids[::13] = -1  # sentinels
+    ids[5] = ids[6] = ids[7]  # duplicates
+    ids[10:40] = rng.integers(0, 8, size=30)  # hot rows near tile 0 start
+    ids[50:60] = v - 1  # duplicates at the last row (tile boundary)
+    grads = (rng.normal(size=(n_ids, w)) * 0.1).astype(np.float32)
+    return table, ids, grads
+
+
+def _run(opt, table, ids, grads):
+    st = rowwise_init(jnp.asarray(table), opt)
+    return rowwise_update(jnp.asarray(table), st, jnp.asarray(ids),
+                          jnp.asarray(grads), opt)
+
+
+@pytest.mark.parametrize("optimizer", ["adagrad", "sgd"])
+def test_streamed_matches_scatter_path(optimizer):
+    table, ids, grads = _mk(0)
+    on = OptimizerConfig(sparse_optimizer=optimizer, sparse_lr=0.05,
+                         streamed_update="on")
+    off = dataclasses.replace(on, streamed_update="off")
+
+    t_on, s_on = _run(on, table, ids, grads)
+    t_off, s_off = _run(off, table, ids, grads)
+
+    d_on = np.asarray(t_on) - table
+    d_off = np.asarray(t_off) - table
+    # delta agrees to bf16 rounding; scale by the largest delta magnitude
+    scale = np.abs(d_off).max()
+    np.testing.assert_allclose(d_on, d_off, atol=0.01 * scale, rtol=0.01)
+
+    touched = np.zeros(V, bool)
+    touched[ids[ids >= 0]] = True
+    # untouched rows: bit-exact
+    np.testing.assert_array_equal(np.asarray(t_on)[~touched], table[~touched])
+    if optimizer == "adagrad":
+        # accumulator math is all-f32 in the kernel: near-exact
+        np.testing.assert_allclose(np.asarray(s_on["accum"]),
+                                   np.asarray(s_off["accum"]),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(
+            np.asarray(s_on["accum"])[~touched],
+            np.full((int((~touched).sum()), 1), on.adagrad_init, np.float32))
+
+
+def test_streamed_all_sentinels_is_noop():
+    table, ids, grads = _mk(1)
+    ids[:] = -1
+    opt = OptimizerConfig(sparse_optimizer="adagrad", streamed_update="on")
+    t_on, s_on = _run(opt, table, ids, grads)
+    np.testing.assert_array_equal(np.asarray(t_on), table)
+    np.testing.assert_allclose(
+        np.asarray(s_on["accum"]),
+        np.full((V, 1), opt.adagrad_init, np.float32), rtol=0, atol=0)
+
+
+def test_streamed_dense_touch_every_row():
+    # every row touched (n_ids >> V): exercises full windows on all tiles
+    table, _, _ = _mk(2)
+    rng = np.random.default_rng(3)
+    ids = np.concatenate([np.arange(V, dtype=np.int32),
+                          rng.integers(0, V, size=2048).astype(np.int32)])
+    grads = (rng.normal(size=(len(ids), W)) * 0.1).astype(np.float32)
+    on = OptimizerConfig(sparse_optimizer="adagrad", sparse_lr=0.05,
+                         streamed_update="on")
+    off = dataclasses.replace(on, streamed_update="off")
+    t_on, _ = _run(on, table, ids, grads)
+    t_off, _ = _run(off, table, ids, grads)
+    d_on = np.asarray(t_on) - table
+    d_off = np.asarray(t_off) - table
+    scale = np.abs(d_off).max()
+    np.testing.assert_allclose(d_on, d_off, atol=0.01 * scale, rtol=0.01)
+
+
+def test_auto_heuristic_gates_small_tables():
+    from cffm_tpu.optim.rowwise import _should_stream
+
+    opt = OptimizerConfig(sparse_optimizer="adagrad")
+    small = jnp.zeros((512, 128), jnp.float32)
+    big = jnp.zeros((1 << 17, 256), jnp.float32)
+    assert not _should_stream(small, opt, 4096, None)  # too small
+    assert _should_stream(big, opt, 1 << 20, 1 << 17)  # big + dense
+    assert not _should_stream(big, opt, 1 << 20, 1000)  # sparse touch
+    assert not _should_stream(big, dataclasses.replace(
+        opt, sparse_optimizer="adam"), 1 << 20, 1 << 17)  # adam unsupported
+    odd = jnp.zeros((1 << 17, 130), jnp.float32)
+    assert not _should_stream(odd, opt, 1 << 20, 1 << 17)  # width not 128x
