@@ -14,6 +14,7 @@ import os
 from typing import Any, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -62,6 +63,78 @@ class CheckpointManager:
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
+
+    def restore_meta(self, step: Optional[int] = None) -> dict:
+        """Read only the JSON metadata of a checkpoint (cheap)."""
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        out = self._mgr.restore(
+            step, args=ocp.args.Composite(meta=ocp.args.JsonRestore()))
+        return out["meta"]
+
+    def restore_auto(self, state_like: TrainState, cfg: TrainConfig,
+                     num_shards: int, step: Optional[int] = None
+                     ) -> tuple[TrainState, dict]:
+        """Restore, resharding table storage if the checkpoint was saved
+        under a different table-shard count (mod-sharded layout depends
+        on T — blind restore would silently load a wrong row
+        permutation whenever the padded shapes coincide).
+        """
+        meta = self.restore_meta(step)
+        from_shards = int(meta.get("num_table_shards", 1))
+        if meta.get("total_vocab") not in (None, cfg.model.total_vocab):
+            raise ValueError(
+                f"checkpoint total_vocab={meta['total_vocab']} != config "
+                f"total_vocab={cfg.model.total_vocab} — wrong config?")
+        if from_shards == num_shards:
+            return self.restore(state_like, step)
+
+        # Restore into the SAVED topology's shapes (host/default
+        # placement), re-permute, then place onto state_like's shardings.
+        v = cfg.model.total_vocab
+        from_pad = _round_up(v, from_shards)
+        to_pad = state_like.params["embed"]["table"].shape[0]
+
+        def as_saved_shape(x):
+            shape = tuple(np.shape(x))
+            if len(shape) == 2 and shape[0] == to_pad:
+                shape = (from_pad,) + shape[1:]
+            return jax.ShapeDtypeStruct(shape, x.dtype)
+
+        template = {
+            "step": as_saved_shape(state_like.step),
+            "params": jax.tree.map(as_saved_shape, state_like.params),
+            "dense_opt_state": jax.tree.map(as_saved_shape,
+                                            state_like.dense_opt_state),
+            "sparse_opt_state": jax.tree.map(as_saved_shape,
+                                             state_like.sparse_opt_state),
+        }
+        step = step if step is not None else self._mgr.latest_step()
+        out = self._mgr.restore(
+            step,
+            args=ocp.args.Composite(state=ocp.args.StandardRestore(template),
+                                    meta=ocp.args.JsonRestore()),
+        )
+        s = out["state"]
+        restored = TrainState(s["step"], s["params"], s["dense_opt_state"],
+                              s["sparse_opt_state"])
+        resharded = reshard_tables(restored, cfg, from_shards, num_shards)
+
+        def place(x, ref):
+            # match state_like's placement; leave uncommitted leaves
+            # (e.g. the step scalar) uncommitted so jit stays free to
+            # co-locate them with the mesh
+            sh = getattr(ref, "sharding", None)
+            if sh is not None and getattr(ref, "committed", False):
+                return jax.device_put(x, sh)
+            # numpy round-trip: orbax returns COMMITTED arrays, and
+            # jnp.asarray on one is a no-op — this is the only way to
+            # get back an uncommitted array
+            return jnp.asarray(np.asarray(x))
+
+        placed = jax.tree.map(place, tuple(resharded), tuple(state_like))
+        return TrainState(*placed), out["meta"]
 
     def restore(self, state_like: TrainState, step: Optional[int] = None
                 ) -> tuple[TrainState, dict]:

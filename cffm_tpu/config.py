@@ -118,6 +118,9 @@ class DataConfig:
     # eval and never trained on (0 disables; eval then reuses the train
     # stream — only sensible for smoke tests). SURVEY.md §5.4.
     val_every: int = 10
+    # Parse worker threads for the native readers (the C++ parser
+    # releases the GIL; >1 needed to feed >1M rows/s). 1 = single-thread.
+    reader_threads: int = 4
     seed: int = 0
 
 

@@ -18,7 +18,9 @@ import numpy as np
 
 from cffm_tpu.config import TrainConfig
 from cffm_tpu.data.readers import (avazu_batches, avazu_batches_native,
-                                   criteo_batches, criteo_batches_native,
+                                   avazu_batches_native_mt, criteo_batches,
+                                   criteo_batches_native,
+                                   criteo_batches_native_mt,
                                    movielens_batches)
 from cffm_tpu.data.synthetic import SyntheticCTR
 from cffm_tpu.models.cffm import field_offsets
@@ -30,21 +32,40 @@ class Batch(dict):
     __getattr__ = dict.__getitem__
 
 
-def _raw_iterator(cfg: TrainConfig, process_index: int, process_count: int):
+def _raw_iterator(cfg: TrainConfig, process_index: int, process_count: int,
+                  split: str = "train"):
     d = cfg.data
     path_ok = d.path is not None and os.path.exists(d.path)
     per_host = d.batch_size // process_count
+    ve = d.val_every
     if d.dataset == "criteo" and path_ok:
         from cffm_tpu.data import native
+        if native.available() and d.reader_threads > 1:
+            return criteo_batches_native_mt(
+                d.path, cfg.model, per_host, process_index, process_count,
+                split=split, val_every=ve, num_threads=d.reader_threads)
         reader = criteo_batches_native if native.available() else criteo_batches
-        return reader(d.path, cfg.model, per_host, process_index, process_count)
+        return reader(d.path, cfg.model, per_host, process_index, process_count,
+                      split=split, val_every=ve)
     if d.dataset == "avazu" and path_ok:
         from cffm_tpu.data import native
+        if native.available() and d.reader_threads > 1:
+            return avazu_batches_native_mt(
+                d.path, cfg.model, per_host, process_index, process_count,
+                split=split, val_every=ve, num_threads=d.reader_threads)
         reader = avazu_batches_native if native.available() else avazu_batches
-        return reader(d.path, cfg.model, per_host, process_index, process_count)
+        return reader(d.path, cfg.model, per_host, process_index, process_count,
+                      split=split, val_every=ve)
     if d.dataset == "movielens" and path_ok:
-        return movielens_batches(d.path, cfg.model, per_host, seed=d.seed + process_index)
-    return iter(SyntheticCTR(cfg.model, per_host, seed=d.seed + process_index))
+        return movielens_batches(d.path, cfg.model, per_host,
+                                 seed=d.seed + process_index,
+                                 split=split, val_every=ve)
+    # Synthetic: all hosts/splits share one planted WORLD (seed); each
+    # host draws its own sample stream, and the val stream is disjoint
+    # from every host's train stream by a large seed offset.
+    stream = d.seed + process_index + (104729 if split == "val" else 0)
+    return iter(SyntheticCTR(cfg.model, per_host, seed=d.seed,
+                             stream_seed=stream))
 
 
 def make_dataset(
@@ -52,10 +73,18 @@ def make_dataset(
     process_index: int = 0,
     process_count: int = 1,
     prefetch: int = 2,
+    split: str = "train",
+    skip_batches: int = 0,
 ) -> Iterator[Batch]:
-    """Device-ready batches for this host, with a background prefetch thread."""
+    """Device-ready batches for this host, with a background prefetch thread.
+
+    split="val" yields the held-out stream (cfg.data.val_every).
+    skip_batches fast-forwards the stream (deterministic resume: skip
+    the batches consumed before the restored step; SURVEY.md §6)."""
     offsets = field_offsets(cfg.model)[None, :].astype(np.int32)
-    raw = _raw_iterator(cfg, process_index, process_count)
+    raw = _raw_iterator(cfg, process_index, process_count, split=split)
+    for _ in range(skip_batches):
+        next(raw)
 
     def to_batch(item) -> Batch:
         ids, dense, labels = item

@@ -13,6 +13,7 @@ separated, joined with users.dat/movies.dat.
 
 from __future__ import annotations
 
+import functools
 import itertools
 import os
 from typing import Iterator, Optional, Tuple
@@ -39,10 +40,38 @@ def day_of_week_yymmdd(yymmdd: np.ndarray) -> np.ndarray:
         np.int32)
 
 
+def _chunk_selector(split: str, val_every: int, shard_index: int,
+                    num_shards: int):
+    """Chunk-level held-out split + host round-robin (SURVEY.md §5.4:
+    eval must run on examples never trained on).
+
+    Every `val_every`-th chunk belongs to the "val" split; the rest are
+    "train". Within its split, each chunk is assigned to hosts
+    round-robin by a population counter (NOT the global chunk index, so
+    host coverage stays balanced after the split removes chunks).
+    val_every=0 disables the split (everything is "train")."""
+    assert split in ("train", "val")
+    pop = 0
+
+    def take(chunk_idx: int) -> bool:
+        nonlocal pop
+        is_val = val_every > 0 and chunk_idx % val_every == val_every - 1
+        if (split == "val") != is_val:
+            return False
+        mine = pop % num_shards == shard_index
+        pop += 1
+        return mine
+
+    return take
+
+
 def _chunked_lines(path: str, chunk: int, shard_index: int = 0, num_shards: int = 1,
-                   skip_header: bool = False, repeat: bool = True):
-    """Yield lists of `chunk` lines; shard by chunk round-robin across hosts."""
+                   skip_header: bool = False, repeat: bool = True,
+                   split: str = "train", val_every: int = 0):
+    """Yield lists of `chunk` lines; shard by chunk round-robin across hosts,
+    with an optional chunk-level train/val split (see _chunk_selector)."""
     while True:
+        take = _chunk_selector(split, val_every, shard_index, num_shards)
         with open(path, "rb") as f:
             it = iter(f)
             if skip_header:
@@ -52,7 +81,7 @@ def _chunked_lines(path: str, chunk: int, shard_index: int = 0, num_shards: int 
                 lines = list(itertools.islice(it, chunk))
                 if not lines:
                     break
-                if chunk_idx % num_shards == shard_index:
+                if take(chunk_idx):
                     yield lines
                 chunk_idx += 1
         if not repeat:
@@ -92,6 +121,7 @@ def _rebatch(chunks, batch_size: int):
 def criteo_batches(
     path: str, cfg: ModelConfig, batch_size: int,
     shard_index: int = 0, num_shards: int = 1, repeat: bool = True,
+    split: str = "train", val_every: int = 0,
 ) -> Iterator[Tuple[np.ndarray, Optional[np.ndarray], np.ndarray]]:
     """Criteo TSV -> (ids, dense, label). 39 fields: 13 bucketized ints
     + 26 hashed categoricals; ints also pass through as log1p dense."""
@@ -99,7 +129,8 @@ def criteo_batches(
 
     def chunks():
         for lines in _chunked_lines(path, batch_size, shard_index, num_shards,
-                                    repeat=repeat):
+                                    repeat=repeat, split=split,
+                                    val_every=val_every):
             # filter malformed rows (wrong field count) before np.array —
             # ragged rows would otherwise raise, and undersized arrays
             # would break the static-shape train step
@@ -128,13 +159,15 @@ def criteo_batches(
 def avazu_batches(
     path: str, cfg: ModelConfig, batch_size: int,
     shard_index: int = 0, num_shards: int = 1, repeat: bool = True,
+    split: str = "train", val_every: int = 0,
 ) -> Iterator[Tuple[np.ndarray, Optional[np.ndarray], np.ndarray]]:
     """Avazu CSV -> 23 fields: hour-of-day, day-of-week + 21 hashed cats."""
     assert cfg.num_fields == 23
 
     def chunks():
         for lines in _chunked_lines(path, batch_size, shard_index, num_shards,
-                                    skip_header=True, repeat=repeat):
+                                    skip_header=True, repeat=repeat,
+                                    split=split, val_every=val_every):
             parts = [p for p in (ln.rstrip(b"\n").split(b",") for ln in lines)
                      if len(p) == 24]
             if not parts:
@@ -159,10 +192,13 @@ def avazu_batches(
 
 def movielens_batches(
     path: str, cfg: ModelConfig, batch_size: int, seed: int = 0, repeat: bool = True,
+    split: str = "train", val_every: int = 0,
 ) -> Iterator[Tuple[np.ndarray, Optional[np.ndarray], np.ndarray]]:
     """MovieLens-1M directory (ratings.dat/users.dat/movies.dat) ->
     7 fields (user, movie, gender, age, occupation, zip, first-genre);
-    label = rating >= 4 (standard CTR-ification)."""
+    label = rating >= 4 (standard CTR-ification). The held-out split
+    leaves out every `val_every`-th rating (by file order, so train and
+    val are disjoint and deterministic across hosts/seeds)."""
     assert cfg.num_fields == 7
     users = {}
     with open(os.path.join(path, "users.dat"), "rb") as f:
@@ -186,6 +222,9 @@ def movielens_batches(
             uid, mid, r, _ts = ln.rstrip(b"\n").split(b"::")
             ratings.append((int(uid), int(mid), int(r)))
     ratings = np.asarray(ratings, dtype=np.int64)
+    if val_every > 0:
+        is_val = (np.arange(len(ratings)) % val_every) == val_every - 1
+        ratings = ratings[is_val if split == "val" else ~is_val]
     rng = np.random.default_rng(seed)
 
     while True:
@@ -217,9 +256,12 @@ def movielens_batches(
 
 def _chunked_bytes(path: str, chunk_bytes: int, shard_index: int = 0,
                    num_shards: int = 1, skip_header: bool = False,
-                   repeat: bool = True):
-    """Yield raw byte chunks ending on row boundaries, sharded by chunk."""
+                   repeat: bool = True, split: str = "train",
+                   val_every: int = 0):
+    """Yield raw byte chunks ending on row boundaries, sharded by chunk,
+    with the same chunk-level train/val split as _chunked_lines."""
     while True:
+        take = _chunk_selector(split, val_every, shard_index, num_shards)
         with open(path, "rb") as f:
             if skip_header:
                 f.readline()
@@ -232,7 +274,7 @@ def _chunked_bytes(path: str, chunk_bytes: int, shard_index: int = 0,
                 buf = tail + data
                 cut = buf.rfind(b"\n") + 1
                 tail = buf[cut:]
-                if chunk_idx % num_shards == shard_index:
+                if take(chunk_idx):
                     yield buf[:cut]
                 chunk_idx += 1
         if not repeat:
@@ -242,6 +284,7 @@ def _chunked_bytes(path: str, chunk_bytes: int, shard_index: int = 0,
 def criteo_batches_native(
     path: str, cfg: ModelConfig, batch_size: int,
     shard_index: int = 0, num_shards: int = 1, repeat: bool = True,
+    split: str = "train", val_every: int = 0,
 ) -> Iterator[Tuple[np.ndarray, Optional[np.ndarray], np.ndarray]]:
     """Criteo TSV via the C++ parser (~35x the Python reader)."""
     from cffm_tpu.data import native
@@ -253,7 +296,8 @@ def criteo_batches_native(
     pending = []
     count = 0
     for buf in _chunked_bytes(path, chunk_bytes, shard_index, num_shards,
-                              repeat=repeat):
+                              repeat=repeat, split=split,
+                              val_every=val_every):
         off = 0
         while off < len(buf):
             ids, dense, labels, consumed = native.parse_criteo_buffer(
@@ -291,9 +335,97 @@ def criteo_batches_native(
                np.concatenate([p[2] for p in pending]))
 
 
+def _parse_criteo_chunk(buf: bytes, cfg: ModelConfig):
+    """Parse one whole byte chunk via the C++ parser (GIL released)."""
+    from cffm_tpu.data import native
+
+    cap = buf.count(b"\n") + 1
+    want_dense = cfg.num_dense > 0
+    parts = []
+    off = 0
+    while off < len(buf):
+        ids, dense, labels, consumed = native.parse_criteo_buffer(
+            buf[off:], cap, cfg.vocab_sizes, want_dense)
+        if consumed == 0:
+            break
+        off += consumed
+        if len(ids):
+            parts.append((ids, dense, labels))
+    if len(parts) == 1:
+        return parts[0]
+    if not parts:
+        return (np.empty((0, 39), np.int32),
+                np.empty((0, 13), np.float32) if want_dense else None,
+                np.empty((0,), np.float32))
+    return (np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]) if want_dense else None,
+            np.concatenate([p[2] for p in parts]))
+
+
+def _parse_avazu_chunk(buf: bytes, cfg: ModelConfig):
+    from cffm_tpu.data import native
+
+    cap = buf.count(b"\n") + 1
+    parts = []
+    off = 0
+    while off < len(buf):
+        ids, labels, consumed = native.parse_avazu_buffer(
+            buf[off:], cap, cfg.vocab_sizes)
+        if consumed == 0:
+            break
+        off += consumed
+        if len(ids):
+            parts.append((ids, None, labels))
+    if len(parts) == 1:
+        return parts[0]
+    if not parts:
+        return (np.empty((0, 23), np.int32), None, np.empty((0,), np.float32))
+    return (np.concatenate([p[0] for p in parts]), None,
+            np.concatenate([p[2] for p in parts]))
+
+
+def criteo_batches_native_mt(
+    path: str, cfg: ModelConfig, batch_size: int,
+    shard_index: int = 0, num_shards: int = 1, repeat: bool = True,
+    split: str = "train", val_every: int = 0, num_threads: int = 4,
+) -> Iterator[Tuple[np.ndarray, Optional[np.ndarray], np.ndarray]]:
+    """Criteo via the C++ parser on a thread pool (ctypes releases the
+    GIL, so parsing scales ~linearly; ordered reassembly keeps the
+    stream deterministic). NOTE: the train/val split is defined at this
+    reader's chunk granularity — consistent within a run, not across
+    reader paths with different chunk sizes."""
+    from cffm_tpu.data.parallel_reader import ordered_parallel_map
+
+    assert cfg.num_fields == 39
+    chunk_bytes = max(batch_size * 220, 1 << 20)
+    chunks = _chunked_bytes(path, chunk_bytes, shard_index, num_shards,
+                            repeat=repeat, split=split, val_every=val_every)
+    parsed = ordered_parallel_map(
+        chunks, functools.partial(_parse_criteo_chunk, cfg=cfg), num_threads)
+    return _rebatch(parsed, batch_size)
+
+
+def avazu_batches_native_mt(
+    path: str, cfg: ModelConfig, batch_size: int,
+    shard_index: int = 0, num_shards: int = 1, repeat: bool = True,
+    split: str = "train", val_every: int = 0, num_threads: int = 4,
+) -> Iterator[Tuple[np.ndarray, Optional[np.ndarray], np.ndarray]]:
+    from cffm_tpu.data.parallel_reader import ordered_parallel_map
+
+    assert cfg.num_fields == 23
+    chunk_bytes = max(batch_size * 180, 1 << 20)
+    chunks = _chunked_bytes(path, chunk_bytes, shard_index, num_shards,
+                            skip_header=True, repeat=repeat, split=split,
+                            val_every=val_every)
+    parsed = ordered_parallel_map(
+        chunks, functools.partial(_parse_avazu_chunk, cfg=cfg), num_threads)
+    return _rebatch(parsed, batch_size)
+
+
 def avazu_batches_native(
     path: str, cfg: ModelConfig, batch_size: int,
     shard_index: int = 0, num_shards: int = 1, repeat: bool = True,
+    split: str = "train", val_every: int = 0,
 ) -> Iterator[Tuple[np.ndarray, Optional[np.ndarray], np.ndarray]]:
     from cffm_tpu.data import native
 
@@ -302,7 +434,8 @@ def avazu_batches_native(
     pending = []
     count = 0
     for buf in _chunked_bytes(path, chunk_bytes, shard_index, num_shards,
-                              skip_header=True, repeat=repeat):
+                              skip_header=True, repeat=repeat, split=split,
+                              val_every=val_every):
         off = 0
         while off < len(buf):
             ids, labels, consumed = native.parse_avazu_buffer(

@@ -34,12 +34,15 @@ def score(cfg: TrainConfig, num_batches: int = 0, output: Optional[str] = None,
         raise SystemExit("error: --checkpoint_dir is required for scoring")
     state = create_state(cfg, jax.random.key(0))
     mgr = CheckpointManager(cfg.checkpoint_dir)
-    state, meta = mgr.restore(state)
+    # replicated scoring state = 1 table shard; restore_auto reshards
+    # checkpoints saved under a different topology (mod-sharded layout)
+    state, meta = mgr.restore_auto(state, cfg, num_shards=1)
     mgr.close()
     log_fn(json.dumps({"restored": meta, "step": int(state.step)}))
 
     interaction_fn = default_interaction_fn(cfg)
-    ds = make_dataset(cfg, jax.process_index(), jax.process_count())
+    ds = make_dataset(cfg, jax.process_index(), jax.process_count(),
+                      split="val")
 
     from cffm_tpu.models.cffm import forward
 

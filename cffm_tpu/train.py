@@ -180,7 +180,6 @@ def run(cfg: TrainConfig, interaction_fn=None, log_fn=print) -> Dict:
 
     use_sharded = cfg.sharding.table_sharded and jax.device_count() > 1
     rng = jax.random.key(cfg.data.seed)
-    ds = make_dataset(cfg, jax.process_index(), jax.process_count())
 
     if use_sharded:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -221,7 +220,9 @@ def run(cfg: TrainConfig, interaction_fn=None, log_fn=print) -> Dict:
         def to_device(x):
             return None if x is None else jnp.asarray(x)
 
-    # checkpoint manager + resume (SURVEY.md §6 checkpoint/resume)
+    # checkpoint manager + resume (SURVEY.md §6 checkpoint/resume):
+    # restore reshards table storage if the shard count changed, and the
+    # dataset below is fast-forwarded past the already-consumed batches.
     ckpt_mgr = None
     start_step = 0
     num_shards = jax.device_count() if use_sharded else 1
@@ -230,15 +231,20 @@ def run(cfg: TrainConfig, interaction_fn=None, log_fn=print) -> Dict:
 
         ckpt_mgr = CheckpointManager(cfg.checkpoint_dir)
         if ckpt_mgr.latest_step() is not None:
-            state, meta = ckpt_mgr.restore(state)
+            state, meta = ckpt_mgr.restore_auto(state, cfg, num_shards)
             start_step = int(ckpt_mgr.latest_step())
             log_fn(json.dumps({"resumed_from_step": start_step,
                                "checkpoint_meta": meta}))
 
+    ds = make_dataset(cfg, jax.process_index(), jax.process_count(),
+                      skip_batches=start_step)
+    val_ds = make_dataset(cfg, jax.process_index(), jax.process_count(),
+                          split="val")
+
     def run_eval():
         auc_state = metrics.auc_state_init()
         for _ in range(cfg.data.eval_batches):
-            b = next(ds)
+            b = next(val_ds)
             auc_state = eval_fn(
                 state, auc_state, to_device(b["ids"]), to_device(b["dense"]),
                 to_device(b["labels"]),

@@ -81,6 +81,56 @@ def test_reshard_tables_roundtrip():
         np.asarray(s1.params["embed"]["table"])[: natural.shape[0]], natural)
 
 
+def test_restore_auto_across_shard_counts():
+    """Train on T=1, checkpoint, restore onto an 8-device sharded state:
+    restore_auto must re-permute the mod-sharded storage (the padded
+    shapes COINCIDE here — 128 % 8 == 0 — exactly the silent-corruption
+    case a blind restore would hit), and the continued loss trajectory
+    must match the single-device continuation."""
+    import tempfile
+
+    from cffm_tpu.parallel.mesh import make_mesh
+    from cffm_tpu.parallel.sharded_embedding import from_mod_sharded
+    from cffm_tpu.parallel.sharded_train import (create_sharded_state,
+                                                 make_sharded_train_step)
+
+    cfg = _cfg()
+    state = train_lib.create_state(cfg, jax.random.key(3))
+    for s in range(2):
+        ids, labels = _batch(cfg, seed=s)
+        state, _ = train_lib.train_step(state, ids, None, labels, cfg)
+    v = cfg.model.total_vocab
+
+    with tempfile.TemporaryDirectory() as d:
+        mgr = CheckpointManager(d)
+        mgr.save(2, state, cfg, num_shards=1, wait=True)
+
+        sh_cfg = dataclasses.replace(
+            cfg, sharding=dataclasses.replace(cfg.sharding, table_sharded=True))
+        mesh = make_mesh(8)
+        template = create_sharded_state(sh_cfg, jax.random.key(99), mesh)
+        assert template.params["embed"]["table"].shape[0] == v  # shapes coincide
+        restored, meta = mgr.restore_auto(template, sh_cfg, num_shards=8)
+        mgr.close()
+
+    assert meta["num_table_shards"] == 1
+    nat = from_mod_sharded(np.asarray(restored.params["embed"]["table"]), 8, v)
+    np.testing.assert_array_equal(nat, np.asarray(state.params["embed"]["table"]))
+    nat_acc = from_mod_sharded(
+        np.asarray(restored.sparse_opt_state["embed"]["accum"]), 8, v)
+    np.testing.assert_array_equal(
+        nat_acc, np.asarray(state.sparse_opt_state["embed"]["accum"]))
+
+    # continued training matches the single-device trajectory
+    ids3, labels3 = _batch(cfg, seed=2)
+    _, m_ref = train_lib.train_step(state, ids3, None, labels3, cfg)
+    step_fn = make_sharded_train_step(sh_cfg, mesh)
+    _, m_sh = step_fn(restored, jax.numpy.asarray(ids3), None,
+                      jax.numpy.asarray(labels3))
+    np.testing.assert_allclose(float(m_sh["loss"]), float(m_ref["loss"]),
+                               rtol=2e-5)
+
+
 def test_reshard_remaps_adam_state():
     """Every table-shaped sparse-state leaf (Adam m/v, not just adagrad
     accum) must ride the same permutation as the table."""
