@@ -108,6 +108,38 @@ def test_sharded_step_matches_reference(eight_devices, use_first_order):
     np.testing.assert_allclose(got_a, want_a, rtol=1e-4, atol=1e-6)
 
 
+def test_sharded_step_with_pallas_kernel_matches_reference(eight_devices):
+    """The flagship program: Pallas custom_vjp interaction kernel INSIDE
+    the sharded step (interpret mode off-TPU) must match the jnp
+    reference interaction path bit-for-bit at f32 tolerance — this is
+    the exact composition criteo_full/multihost execute on real chips."""
+    from cffm_tpu.ops.interaction_conv import make_interaction_fn
+
+    cfg = _cfg()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, use_pallas=True))
+    mesh = make_mesh(8)
+    state_p = create_sharded_state(cfg, jax.random.key(5), mesh)
+    state_r = jax.tree.map(jnp.copy, state_p)  # steps donate their input
+
+    step_p = make_sharded_train_step(cfg, mesh, make_interaction_fn(use_pallas=True))
+    step_r = make_sharded_train_step(cfg, mesh, None)
+    ids, labels = _batch(cfg, seed=3)
+
+    sp, mp = step_p(state_p, ids, None, labels)
+    sr, mr = step_r(state_r, ids, None, labels)
+    np.testing.assert_allclose(float(mp["loss"]), float(mr["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(sp.params["embed"]["table"]),
+        np.asarray(sr.params["embed"]["table"]), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(sp.params["conv"][0]["w"]),
+        np.asarray(sr.params["conv"][0]["w"]), rtol=1e-4, atol=1e-6)
+    # and it keeps training: one more step, finite loss
+    sp2, mp2 = step_p(sp, *_batch(cfg, seed=4)[:1], None, _batch(cfg, seed=4)[1])
+    assert np.isfinite(float(mp2["loss"]))
+
+
 def test_sharded_multi_step_loss_decreases(eight_devices):
     cfg = _cfg()
     mesh = make_mesh(8)
