@@ -136,6 +136,11 @@ class ShardingConfig:
 
     data_axis: str = "data"
     table_sharded: bool = False  # False -> tables replicated (1-chip cfgs)
+    # "global": one flat axis over all devices (lookup all-to-all may
+    # cross DCN). "intra_host": 2D ("host","chip") mesh — tables sharded
+    # within each host, replicated across; lookup rides ICI only and
+    # table grads psum over "host" (parallel/dcn_mesh.py; SURVEY.md M5).
+    table_axis: str = "global"
     id_capacity_factor: float = 2.0  # per-peer bucket slack for all-to-all
     dedup: bool = True
 

@@ -215,6 +215,27 @@ def rowwise_update(
     raise ValueError(opt.sparse_optimizer)
 
 
+def dense_rowwise_apply(table: jax.Array, state: Dict, g: jax.Array,
+                        opt: OptimizerConfig, lr_scale: float = 1.0
+                        ) -> Tuple[jax.Array, Dict]:
+    """Dense-form row-wise update: g is a full table-shaped gradient
+    (untouched rows are all-zero => exact no-op for adagrad/sgd, same
+    semantics as the sparse scatter path). Used where grads are psum'd
+    across table REPLICAS (DCN-aware intra-host sharding) and arrive
+    dense. Adam's decay-every-row dense form differs from the sparse
+    path, so it is not offered here.
+    """
+    lr = opt.sparse_lr * lr_scale
+    if opt.sparse_optimizer == "adagrad":
+        new_accum = state["accum"] + jnp.mean(g * g, axis=-1, keepdims=True)
+        delta = -lr * g / (jnp.sqrt(new_accum) + opt.eps)
+        return table + delta.astype(table.dtype), {"accum": new_accum}
+    if opt.sparse_optimizer == "sgd":
+        return table + (-lr * g).astype(table.dtype), state
+    raise ValueError(
+        f"dense_rowwise_apply supports adagrad/sgd, got {opt.sparse_optimizer}")
+
+
 def make_dense_optimizer(opt: OptimizerConfig) -> optax.GradientTransformation:
     if opt.dense_optimizer == "adam":
         tx = optax.adam(opt.dense_lr, b1=opt.adam_b1, b2=opt.adam_b2, eps=opt.eps)

@@ -189,14 +189,26 @@ def run(cfg: TrainConfig, interaction_fn=None, log_fn=print) -> Dict:
             AXIS, create_sharded_state, make_sharded_eval_step,
             make_sharded_train_step)
 
-        mesh = make_mesh()
-        state = create_sharded_state(cfg, rng, mesh)
-        step_fn = make_sharded_train_step(cfg, mesh, interaction_fn)
-        eval_fn = make_sharded_eval_step(cfg, mesh, interaction_fn)
+        if cfg.sharding.table_axis == "intra_host":
+            from cffm_tpu.parallel.dcn_mesh import (
+                create_sharded_state_2d, make_mesh_2d,
+                make_sharded_eval_step_2d, make_sharded_train_step_2d)
+
+            mesh = make_mesh_2d()
+            state = create_sharded_state_2d(cfg, rng, mesh)
+            step_fn = make_sharded_train_step_2d(cfg, mesh, interaction_fn)
+            eval_fn = make_sharded_eval_step_2d(cfg, mesh, interaction_fn)
+        else:
+            mesh = make_mesh()
+            state = create_sharded_state(cfg, rng, mesh)
+            step_fn = make_sharded_train_step(cfg, mesh, interaction_fn)
+            eval_fn = make_sharded_eval_step(cfg, mesh, interaction_fn)
         if jax.process_count() > 1:
             # multi-host: assemble global batch arrays from per-host
             # shards (SPMD data path, SURVEY.md §4.1)
-            batch_sharding = NamedSharding(mesh, P(AXIS))
+            batch_axes = (tuple(mesh.axis_names) if len(mesh.axis_names) > 1
+                          else AXIS)
+            batch_sharding = NamedSharding(mesh, P(batch_axes))
 
             def to_device(x):
                 if x is None:
@@ -225,7 +237,12 @@ def run(cfg: TrainConfig, interaction_fn=None, log_fn=print) -> Dict:
     # dataset below is fast-forwarded past the already-consumed batches.
     ckpt_mgr = None
     start_step = 0
-    num_shards = jax.device_count() if use_sharded else 1
+    if not use_sharded:
+        num_shards = 1
+    elif cfg.sharding.table_axis == "intra_host":
+        num_shards = mesh.shape["chip"]  # tables sharded within a host
+    else:
+        num_shards = jax.device_count()
     if cfg.checkpoint_dir:
         from cffm_tpu.checkpoint import CheckpointManager
 
