@@ -10,7 +10,8 @@ updates with one-hot MXU matmuls — no per-row dynamic ops anywhere.
 Contract (matches optim.rowwise._dedup_sum output):
   uids (M,) int32 ascending; unique valid prefix in [0, V); the invalid
   tail holds the sentinel V (>= every tile range, so it never matches).
-  gsum (M, W) f32 duplicate-summed gradients (zeros in the tail).
+  gsum (M, W) duplicate-summed gradients (zeros in the tail); bf16
+  preferred (halves the dominant window DMA traffic), f32 accepted.
 
 Per tile t covering rows [tR, tR+R):
   - its entries occupy a CONTIGUOUS slice of (uids, gsum) — at most R of
@@ -24,14 +25,18 @@ Per tile t covering rows [tR, tR+R):
   - per window block k: onehot_k[r, e] = (uids[lo+k, e] - tR == r)
     selects exactly the tile's entries in that block; out-of-tile and
     sentinel entries contribute zero columns;
-  - adagrad: acc_tile += sum_k onehot_k @ mean(g_k^2, axis=-1);
-    delta = -lr * g / (sqrt(acc_new) + eps) — identical to the sparse
-    scatter path for touched rows; untouched rows see g = 0 => exact
-    no-op (the dense form is semantically equal);
-  - table_tile += sum_k onehot_k_bf16 @ delta_k_bf16 with f32 MXU
-    accumulation: each table row receives exactly one delta row (ids
-    are unique), so the only approximation is bf16 rounding of the
-    DELTA (<= 0.4% relative on the increment, not the weight).
+  - ONE matmul pass gathers each row's summed gradient:
+      S = sum_k onehot_k(bf16) @ g_k(bf16)        (R, W) f32 accum
+    then everything else is row-local VPU math:
+      adagrad: acc_new = acc + mean(S^2, axis=1); delta = -lr*S/(sqrt(
+      acc_new)+eps); sgd: delta = -lr*S — identical to the sparse
+      scatter path for touched rows (S == the dedup-summed grad, bf16-
+      rounded per entry); untouched rows see S = 0 => delta 0 and acc+0,
+      an exact no-op (modulo the +0.0 identity: a stored -0.0 would
+      renormalize to +0.0).
+  - table_out = table_in + delta in f32 — the delta itself is no longer
+    bf16-rounded (only the gradient inputs are), tightening the old
+    formulation's error.
 
 The tile size must divide V (pick_tile); configs whose vocab admits no
 tile >= 64 fall back to the XLA scatter path in optim.rowwise.
@@ -79,7 +84,7 @@ def supported(num_rows: int, width: int, m: int) -> bool:
 
 
 def _kernel(lo_ref, hyper_ref, *refs, r: int, winb: int, adagrad: bool):
-    """refs: uids (M/EB, EB) i32 resident, g_0..g_{winb-1} (EB, W) f32,
+    """refs: uids (M/EB, EB) i32 resident, g_0..g_{winb-1} (EB, W),
     table_in (R, W), [acc_in (R, 1)], table_out (R, W), [acc_out (R, 1)]."""
     u_ref = refs[0]
     g_refs = refs[1 : 1 + winb]
@@ -95,36 +100,22 @@ def _kernel(lo_ref, hyper_ref, *refs, r: int, winb: int, adagrad: bool):
     base = t * r
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (r, EB), 0)
 
-    def onehot(k):
+    # One matmul pass: per-row summed gradient S (R, W) in f32.
+    s = jnp.zeros((r, table_in.shape[1]), jnp.float32)
+    for k in range(winb):
         u_k = u_ref[pl.ds(lo + k, 1), :]  # (1, EB) int32
-        return (u_k - base) == iota_r  # (R, EB)
+        onehot_k = (u_k - base) == iota_r  # (R, EB)
+        s = s + jax.lax.dot_general(
+            onehot_k.astype(jnp.bfloat16), g_refs[k][...].astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
     if adagrad:
-        acc_new = acc_in[...]
-        for k in range(winb):
-            g_k = g_refs[k][...]
-            g2_k = jnp.mean(g_k * g_k, axis=1, keepdims=True)  # (EB, 1)
-            acc_new = acc_new + jax.lax.dot_general(
-                onehot(k).astype(jnp.float32), g2_k,
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        acc_new = acc_in[...] + jnp.mean(s * s, axis=1, keepdims=True)
         acc_out[...] = acc_new
-
-    upd = jnp.zeros((r, table_in.shape[1]), jnp.float32)
-    for k in range(winb):
-        oh_k = onehot(k)
-        g_k = g_refs[k][...]
-        if adagrad:
-            acc_win = jax.lax.dot_general(
-                oh_k.astype(jnp.float32), acc_new,
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)  # (EB, 1)
-            delta_k = (-lr) * g_k / (jnp.sqrt(acc_win) + eps)
-        else:
-            delta_k = (-lr) * g_k
-        upd = upd + jax.lax.dot_general(
-            oh_k.astype(jnp.bfloat16), delta_k.astype(jnp.bfloat16),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    table_out[...] = table_in[...] + upd
+        delta = (-lr) * s / (jnp.sqrt(acc_new) + eps)
+    else:
+        delta = (-lr) * s
+    table_out[...] = table_in[...] + delta
 
 
 def streamed_rowwise_apply(
@@ -152,6 +143,7 @@ def streamed_rowwise_apply(
     assert r and v % r == 0, f"no supported tile divides num_rows={v}"
     adagrad = accum is not None
     winb = win_blocks(r)
+    gsum = gsum.astype(jnp.bfloat16)  # window DMA traffic dominates
 
     # Pad entries so every window block index is valid (no-op when the
     # caller pre-sized M via padded_entries).

@@ -135,29 +135,35 @@ def rowwise_update(
     grads = jnp.where(sentinel_ok[:, None], grads, jnp.zeros((), grads.dtype))
 
     use_streamed = _should_stream(table, opt, row_ids.shape[0], max_unique)
-    if use_streamed:
-        # Pre-size the dedup output so the kernel's entry windows need no
-        # extra padding pass (see ops/streamed_update.padded_entries).
-        from cffm_tpu.ops.streamed_update import padded_entries, pick_tile
-
-        r = pick_tile(table.shape[0])
-        max_unique = padded_entries(
-            min(row_ids.shape[0], max_unique or row_ids.shape[0]), r)
-
-    uids, g, valid = _dedup_sum(safe_ids, grads, table.shape[0], max_unique)
     lr = opt.sparse_lr * lr_scale
-
     if use_streamed:
-        from cffm_tpu.ops.streamed_update import streamed_rowwise_apply
+        # Streamed path: sort once, then the fused sorted-segment kernel
+        # replaces XLA's scatter-based segment_sum/segment_max (which
+        # cost ~45ms at criteo bench shapes), and the streamed apply
+        # kernel replaces the table scatter. m_pad is pre-sized so the
+        # apply's entry windows need no extra padding pass.
+        from cffm_tpu.ops.sorted_segment import sorted_segment_sum_compact
+        from cffm_tpu.ops.streamed_update import (padded_entries, pick_tile,
+                                                  streamed_rowwise_apply)
 
-        uids_s = jnp.where(valid, uids, table.shape[0]).astype(jnp.int32)
+        num_rows = table.shape[0]
+        r = pick_tile(num_rows)
+        m_pad = padded_entries(
+            min(row_ids.shape[0], max_unique or row_ids.shape[0]), r)
+        order = jnp.argsort(safe_ids)
+        uids, g, count = sorted_segment_sum_compact(
+            safe_ids[order], grads[order], m_pad)
+        uids_s = jnp.where(jnp.arange(m_pad) < count, uids,
+                           num_rows).astype(jnp.int32)
         if opt.sparse_optimizer == "adagrad":
             new_table, new_accum = streamed_rowwise_apply(
-                table, state["accum"], uids_s, g, lr, opt.eps)
+                table, state["accum"], uids_s, g, lr, opt.eps, r=r)
             return new_table, {"accum": new_accum}
         new_table, _ = streamed_rowwise_apply(
-            table, None, uids_s, g, lr, opt.eps)
+            table, None, uids_s, g, lr, opt.eps, r=r)
         return new_table, state
+
+    uids, g, valid = _dedup_sum(safe_ids, grads, table.shape[0], max_unique)
 
     if opt.sparse_optimizer == "adagrad":
         accum = state["accum"]

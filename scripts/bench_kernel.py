@@ -24,11 +24,14 @@ def main():
 
     cfg = get_config("criteo_kaggle").model
     b = args.batch
-    rng = np.random.default_rng(0)
-    emb = jnp.asarray(
-        rng.normal(size=(b, cfg.num_fields, cfg.row_width)).astype(np.float32),
-        dtype=jnp.dtype(args.dtype))
+    # generate ON DEVICE: the (B, F, F*d) block is ~1.6GB — host staging
+    # over the relay takes minutes
+    emb = jax.jit(lambda k: jax.random.normal(
+        k, (b, cfg.num_fields, cfg.row_width), jnp.dtype(args.dtype))
+    )(jax.random.key(0))
+    emb.block_until_ready()
     c1 = cfg.conv_channels[0]
+    rng = np.random.default_rng(0)
     w1 = jnp.asarray(
         0.1 * rng.normal(size=(c1, cfg.num_pairs, cfg.conv_kernel)),
         jnp.float32)

@@ -1,0 +1,70 @@
+"""Fused sorted-segment dedup kernel vs a numpy reference (interpret
+mode on CPU via conftest)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cffm_tpu.ops.sorted_segment import EB, sorted_segment_sum_compact
+
+
+def _ref(sid, grads):
+    uids, first = np.unique(sid, return_index=True)
+    sums = np.zeros((len(uids), grads.shape[1]), np.float32)
+    inv = np.searchsorted(uids, sid)
+    np.add.at(sums, inv, grads.astype(np.float32))
+    return uids, sums
+
+
+@pytest.mark.parametrize("n,seed", [(513, 0), (1024, 1), (200, 2)])
+def test_matches_numpy_reference(n, seed):
+    rng = np.random.default_rng(seed)
+    v, w = 4096, 128
+    sid = np.sort(rng.integers(0, v, size=n).astype(np.int32))
+    # hot run: many duplicates spanning multiple blocks
+    sid[: n // 3] = sid[n // 3]
+    sid = np.sort(sid)
+    grads = (rng.normal(size=(n, w)) * 0.1).astype(np.float32)
+
+    m_pad = ((n + EB - 1) // EB) * EB + 2 * EB
+    uids, gsum, count = sorted_segment_sum_compact(
+        jnp.asarray(sid), jnp.asarray(grads), m_pad)
+    uids, gsum = np.asarray(uids), np.asarray(gsum)
+
+    ref_uids, ref_sums = _ref(sid, grads)
+    assert int(count) == len(ref_uids)
+    np.testing.assert_array_equal(uids[: len(ref_uids)], ref_uids)
+    np.testing.assert_array_equal(uids[len(ref_uids):], -1)
+    # grads pass through bf16: ~0.5% relative on sums
+    scale = np.abs(ref_sums).max()
+    np.testing.assert_allclose(gsum[: len(ref_uids)], ref_sums,
+                               atol=0.01 * scale, rtol=0.02)
+    np.testing.assert_array_equal(gsum[len(ref_uids):], 0.0)
+
+
+def test_single_segment_hot_row():
+    """One id repeated n times: revisit accumulation across many input
+    blocks must stay f32-exact."""
+    n, w = 1024, 128
+    sid = np.full((n,), 7, np.int32)
+    grads = np.ones((n, w), np.float32)
+    m_pad = ((n + EB - 1) // EB) * EB + 2 * EB
+    uids, gsum, count = sorted_segment_sum_compact(
+        jnp.asarray(sid), jnp.asarray(grads), m_pad)
+    assert int(count) == 1
+    assert int(uids[0]) == 7
+    np.testing.assert_allclose(np.asarray(gsum)[0], float(n), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(uids)[1:], -1)
+
+
+def test_large_ids_exact():
+    """Ids near 2^25 (criteo_full scale) must round-trip exactly
+    through the base-256 encoding."""
+    ids = np.array([0, 1, 255, 256, 65535, 16_777_215, 26_000_063],
+                   np.int32)
+    sid = np.sort(ids)
+    grads = np.ones((len(ids), 128), np.float32)
+    uids, _gsum, count = sorted_segment_sum_compact(
+        jnp.asarray(sid), jnp.asarray(grads), 3 * EB)
+    assert int(count) == len(ids)
+    np.testing.assert_array_equal(np.asarray(uids)[: len(ids)], sid)

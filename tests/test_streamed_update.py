@@ -58,10 +58,10 @@ def test_streamed_matches_scatter_path(optimizer):
     # untouched rows: bit-exact
     np.testing.assert_array_equal(np.asarray(t_on)[~touched], table[~touched])
     if optimizer == "adagrad":
-        # accumulator math is all-f32 in the kernel: near-exact
+        # accum derives from bf16-rounded gradient sums: ~0.5% relative
         np.testing.assert_allclose(np.asarray(s_on["accum"]),
                                    np.asarray(s_off["accum"]),
-                                   rtol=1e-5, atol=1e-6)
+                                   rtol=1e-2, atol=1e-6)
         np.testing.assert_array_equal(
             np.asarray(s_on["accum"])[~touched],
             np.full((int((~touched).sum()), 1), on.adagrad_init, np.float32))
