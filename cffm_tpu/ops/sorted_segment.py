@@ -15,23 +15,29 @@ Key construction (all shapes static):
   - Output block of input block i: ob[i] = seg[i*EB] // EB. Since seg
     advances by <= 1 per entry, ob is non-decreasing and advances by
     <= 1 per block, so output blocks are visited in consecutive runs —
-    exactly Pallas' revisiting/accumulation pattern.
+    exactly Pallas' revisiting pattern.
   - An input block's segments span < 2*EB output slots, so entries
     either hit the current output block (one-hot o1) or the NEXT one
-    (o2); the o2 part accumulates in a carry scratch that is flushed
-    when the grid reaches that block.
-  - After the real blocks, synthetic "sweep" blocks (zero gradients,
+    (o2); the o2 part accumulates in a carry scratch that the next
+    output block's first visit consumes.
+  - Accumulation happens in f32 VMEM scratch; the HBM output block is
+    written ONCE, at the block's last visit, in bf16 — revisit
+    accumulation stays exact for hot rows spanning hundreds of input
+    blocks, and output traffic is half of an f32 out. (The sole
+    consumer, ops.streamed_update, wants bf16 anyway — this also
+    deletes its separate cast pass.)
+  - After the real blocks, synthetic "sweep" blocks (compute-skipped,
     seg walking +EB per block) visit every remaining output block so
     the whole output is initialized — unvisited Pallas output blocks
     would otherwise hold garbage (NaN poison risk downstream).
-  - uids ride along as 4 extra bf16 columns: component c of (id+1) in
-    base-256 (each < 2^8, bf16-exact), masked to the segment's FIRST
-    entry, so the same one-hot matmul deposits them at the compact
-    slot. Decoded outside; empty slots decode to -1.
-
-Output gsum is f32 (revisit accumulation stays exact for hot rows that
-span hundreds of input blocks); the streamed-update kernel casts to
-bf16 at its own boundary.
+  - uids ride along in a SEPARATE narrow operand pair: component c of
+    (id+1) in base-256 (each < 2^8, bf16-exact), masked to the
+    segment's FIRST entry, deposited by the same one-hot matmuls into
+    a (m_pad, 128) bf16 rider output. Decoded outside; empty slots
+    decode to -1. Keeping riders out of the gradient operand avoids
+    materializing an augmented copy of the (n, W) gradient block —
+    the n*(W+128) concat build cost ~7 GB of HBM traffic at criteo
+    bench shapes.
 """
 
 from __future__ import annotations
@@ -44,7 +50,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 EB = 128
-AUG = 128  # id-component columns, padded to one 128-lane block
+AUG = 128  # rider lane block (NCOMP used, rest zero-pad)
 NCOMP = 4  # base-256 components: ids up to 2^32
 
 
@@ -52,35 +58,63 @@ def _auto_interpret() -> bool:
     return jax.devices()[0].platform not in ("tpu", "axon")
 
 
-def _kernel(ob_ref, seg_ref, g_ref, out_ref, carry):
+def _kernel(ob_ref, seg_ref, g_ref, c_ref, gout_ref, uout_ref,
+            acc, accu, carry, carryu, *, g_real: int):
     i = pl.program_id(0)
+    nsteps = pl.num_programs(0)
     ob = ob_ref[i]
     prev = ob_ref[jnp.maximum(i - 1, 0)]
-    is_first_visit = (i == 0) | (ob != prev)
-    flush = (i > 0) & (ob == prev + 1)
-    keep = (i > 0) & (ob == prev)
+    nxt = ob_ref[jnp.minimum(i + 1, nsteps - 1)]
+    is_first = (i == 0) | (ob != prev)
+    from_carry = (i > 0) & (ob == prev + 1)
+    is_last = (i == nsteps - 1) | (nxt != ob)
+    real = i < g_real
 
-    seg_blk = seg_ref[pl.ds(i, 1), :]  # (1, EB) int32
-    local = seg_blk - ob * EB          # in [0, 2*EB)
-    g = g_ref[...]                     # (EB, W+AUG) bf16
-    iota = jax.lax.broadcasted_iota(jnp.int32, (EB, EB), 0)
-    o1 = (local == iota).astype(jnp.bfloat16)
-    o2 = ((local - EB) == iota).astype(jnp.bfloat16)
-    c1 = jax.lax.dot_general(o1, g, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    c2 = jax.lax.dot_general(o2, g, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-
-    @pl.when(is_first_visit)
+    # First visit of this output block: seed from the straddle carry
+    # (consumed exactly once: ob advances by <= 1), then reset it.
+    @pl.when(is_first & from_carry)
     def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
+        acc[...] = carry[...]
+        accu[...] = carryu[...]
 
-    @pl.when(flush)
+    @pl.when(is_first & jnp.logical_not(from_carry))
     def _():
-        out_ref[...] = out_ref[...] + carry[...]
+        acc[...] = jnp.zeros_like(acc)
+        accu[...] = jnp.zeros_like(accu)
 
-    out_ref[...] = out_ref[...] + c1
-    carry[...] = jnp.where(keep, carry[...], 0.0) + c2
+    @pl.when(is_first)
+    def _():
+        carry[...] = jnp.zeros_like(carry)
+        carryu[...] = jnp.zeros_like(carryu)
+
+    # Deposit this input block's entries (sweep blocks deposit nothing;
+    # their g/c index maps are clamped to the last real block, so the
+    # guard also keeps clamped garbage out of the sums).
+    @pl.when(real)
+    def _():
+        seg_blk = seg_ref[pl.ds(i, 1), :]  # (1, EB) int32
+        local = seg_blk - ob * EB          # in [0, 2*EB)
+        g = g_ref[...]                     # (EB, W) bf16
+        c = c_ref[...]                     # (EB, AUG) bf16
+        iota = jax.lax.broadcasted_iota(jnp.int32, (EB, EB), 0)
+        o1 = (local == iota).astype(jnp.bfloat16)
+        o2 = ((local - EB) == iota).astype(jnp.bfloat16)
+        dims = (((1,), (0,)), ((), ()))
+        acc[...] = acc[...] + jax.lax.dot_general(
+            o1, g, dims, preferred_element_type=jnp.float32)
+        accu[...] = accu[...] + jax.lax.dot_general(
+            o1, c, dims, preferred_element_type=jnp.float32)
+        carry[...] = carry[...] + jax.lax.dot_general(
+            o2, g, dims, preferred_element_type=jnp.float32)
+        carryu[...] = carryu[...] + jax.lax.dot_general(
+            o2, c, dims, preferred_element_type=jnp.float32)
+
+    # Write-once flush: the HBM block leaves VMEM only after the last
+    # visit, fully assigned.
+    @pl.when(is_last)
+    def _():
+        gout_ref[...] = acc[...].astype(gout_ref.dtype)
+        uout_ref[...] = accu[...].astype(uout_ref.dtype)
 
 
 def sorted_segment_sum_compact(
@@ -92,14 +126,20 @@ def sorted_segment_sum_compact(
     """sid (n,) int32 SORTED ascending; grads (n, W) same order, W a
     multiple of 128. m_pad: static output slots (multiple of EB), must
     bound the segment count. Returns (uids (m_pad,) int32 with -1 in
-    empty slots, gsum (m_pad, W) f32, count (scalar int32)).
+    empty slots, gsum (m_pad, W) bf16, count (scalar int32)).
     """
     if interpret is None:
         interpret = _auto_interpret()
     n, w = grads.shape
     assert w % 128 == 0 and m_pad % EB == 0
-    g_real = -(-n // EB)
-    n_pad = g_real * EB
+    grads = grads.astype(jnp.bfloat16)
+    if n % EB:
+        pad = EB - n % EB
+        # pad ids repeat the last id => no new segments, zero grads
+        sid = jnp.concatenate([sid, jnp.broadcast_to(sid[-1], (pad,))])
+        grads = jnp.concatenate([grads, jnp.zeros((pad, w), grads.dtype)])
+        n = n + pad
+    g_real = n // EB
     m_blocks = m_pad // EB
 
     is_first = jnp.concatenate(
@@ -108,27 +148,21 @@ def sorted_segment_sum_compact(
     count = seg[-1] + 1
 
     # base-256 id components, masked to first occurrences (bf16-exact)
-    enc = (sid + 1).astype(jnp.uint32)
+    enc = ((sid + 1).astype(jnp.uint32) * is_first.astype(jnp.uint32))
     comps = jnp.stack(
-        [((enc >> (8 * c)) & 0xFF).astype(jnp.float32) for c in range(NCOMP)],
-        axis=1) * is_first[:, None].astype(jnp.float32)  # (n, NCOMP)
+        [((enc >> (8 * c)) & 0xFF).astype(jnp.bfloat16)
+         for c in range(NCOMP)], axis=1)
+    comps = jnp.pad(comps, ((0, 0), (0, AUG - NCOMP)))
 
-    # augmented gradient block: [grads | comps | 0-pad], one extra
-    # all-zero block at the end serves every synthetic sweep step
-    g_aug = jnp.zeros((n_pad + EB, w + AUG), jnp.bfloat16)
-    g_aug = g_aug.at[:n, :w].set(grads.astype(jnp.bfloat16))
-    g_aug = g_aug.at[:n, w : w + NCOMP].set(comps.astype(jnp.bfloat16))
-
-    # segments per block: real blocks from seg (pad rows repeat the last
-    # value => no new segments); sweep blocks walk +EB per block from
-    # seg_last so every output block gets visited (advance <= +1).
-    seg_pad = jnp.concatenate(
-        [seg, jnp.broadcast_to(seg[-1], (n_pad - n,))]).reshape(g_real, EB)
+    # segments per block: real blocks from seg; sweep blocks walk +EB
+    # per block from seg_last so every output block gets visited
+    # (advance <= +1 per block either way).
+    seg2d = seg.reshape(g_real, EB)
     sweep = jnp.minimum(
         seg[-1] + jnp.arange(m_blocks, dtype=jnp.int32) * EB,
         (m_blocks - 1) * EB)
     seg2d = jnp.concatenate(
-        [seg_pad, jnp.broadcast_to(sweep[:, None], (m_blocks, EB))])
+        [seg2d, jnp.broadcast_to(sweep[:, None], (m_blocks, EB))])
     g_total = g_real + m_blocks
     ob = (seg2d[:, 0] // EB).astype(jnp.int32)
 
@@ -138,24 +172,34 @@ def sorted_segment_sum_compact(
         in_specs=[
             pl.BlockSpec((g_total, EB), lambda i, ob_ref: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((EB, w + AUG),
-                         lambda i, ob_ref: (jnp.minimum(i, g_real), 0),
+            pl.BlockSpec((EB, w),
+                         lambda i, ob_ref: (jnp.minimum(i, g_real - 1), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((EB, AUG),
+                         lambda i, ob_ref: (jnp.minimum(i, g_real - 1), 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((EB, w + AUG), lambda i, ob_ref: (ob_ref[i], 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((EB, w + AUG), jnp.float32)],
+        out_specs=[
+            pl.BlockSpec((EB, w), lambda i, ob_ref: (ob_ref[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((EB, AUG), lambda i, ob_ref: (ob_ref[i], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((EB, w), jnp.float32),
+                        pltpu.VMEM((EB, AUG), jnp.float32),
+                        pltpu.VMEM((EB, w), jnp.float32),
+                        pltpu.VMEM((EB, AUG), jnp.float32)],
     )
-    out = pl.pallas_call(
-        _kernel,
+    gsum, uout = pl.pallas_call(
+        functools.partial(_kernel, g_real=g_real),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((m_pad, w + AUG), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((m_pad, w), jnp.bfloat16),
+                   jax.ShapeDtypeStruct((m_pad, AUG), jnp.bfloat16)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(ob, seg2d, g_aug)
+    )(ob, seg2d, grads, comps)
 
-    gsum = out[:, :w]
-    c = out[:, w : w + NCOMP].astype(jnp.int32)
+    c = uout[:, :NCOMP].astype(jnp.int32)
     uids = (c[:, 0] + (c[:, 1] << 8) + (c[:, 2] << 16) + (c[:, 3] << 24)) - 1
     return uids, gsum, count

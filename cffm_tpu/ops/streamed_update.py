@@ -38,8 +38,9 @@ Per tile t covering rows [tR, tR+R):
     bf16-rounded (only the gradient inputs are), tightening the old
     formulation's error.
 
-The tile size must divide V (pick_tile); configs whose vocab admits no
-tile >= 64 fall back to the XLA scatter path in optim.rowwise.
+The tile size need not divide V (the final partial tile is masked on
+store; see pick_tile); tables smaller than the minimum tile fall back
+to the XLA scatter path in optim.rowwise.
 """
 
 from __future__ import annotations
@@ -60,9 +61,17 @@ def _auto_interpret() -> bool:
 
 
 def pick_tile(num_rows: int) -> int:
-    """Largest supported tile size dividing num_rows (0 = unsupported)."""
+    """Largest supported tile size (0 = table too small to stream).
+
+    The tile need NOT divide num_rows: the grid rounds up and Mosaic
+    masks the final partial block on store. The sentinel id (== V)
+    falls inside the last tile's PADDED region, so its one-hot match
+    lands on a masked row — and its gsum is zero anyway. Bigger tiles
+    amortize per-step grid overhead and window overfetch (the window
+    reads winb fixed blocks per tile regardless of how many entries
+    actually fall in the tile)."""
     for r in (512, 256, 128, 64):
-        if num_rows % r == 0:
+        if num_rows >= r:
             return r
     return 0
 
@@ -140,7 +149,7 @@ def streamed_rowwise_apply(
     assert w % 128 == 0, f"streamed update needs 128-multiple width, got {w}"
     if r is None:
         r = pick_tile(v)
-    assert r and v % r == 0, f"no supported tile divides num_rows={v}"
+    assert r, f"table too small to stream: num_rows={v}"
     adagrad = accum is not None
     winb = win_blocks(r)
     gsum = gsum.astype(jnp.bfloat16)  # window DMA traffic dominates
@@ -154,7 +163,7 @@ def streamed_rowwise_apply(
         gsum = jnp.concatenate([gsum, jnp.zeros((m_pad - m, w), gsum.dtype)])
 
     # Per-tile first-entry offset -> window start block (scalar prefetch).
-    t_full = v // r
+    t_full = -(-v // r)
     tile_starts = jnp.arange(t_full, dtype=jnp.int32) * r
     lo = jnp.searchsorted(uids, tile_starts).astype(jnp.int32)
     lo_blk = jnp.minimum(lo // EB, m_pad // EB - winb)

@@ -107,6 +107,32 @@ def _should_stream(table: jax.Array, opt: OptimizerConfig, n_ids: int,
     return v * w >= (1 << 24) and touched >= 0.08 * v
 
 
+def _per_field_sort_order(row_ids: jax.Array, field_offsets) -> jax.Array:
+    """Global ascending-order permutation via F independent column sorts.
+
+    row_ids is the flattening of an (B, F) id block whose column f draws
+    from the disjoint ascending range [offsets[f], offsets[f+1]) — the
+    per-field structure of an embedding-id batch. Sorting each column
+    (a batched (F, B) sort, ~2x cheaper than one length-B*F sort: the
+    bitonic network is O(n log^2 n) and the F-way batch vectorizes
+    across sublanes) and concatenating by field IS a global sort.
+    Sentinels (id < 0) are mapped to the field's first id — their grads
+    are already zeroed, and a zero-grad touch is an exact no-op for the
+    streamed adagrad/sgd apply (S += 0).
+
+    Returns indices into the flat (B*F,) layout; row_ids[order] is
+    globally ascending once sentinels are remapped the same way.
+    """
+    offs = jnp.asarray(field_offsets, jnp.int32)
+    f = offs.shape[0]
+    b = row_ids.shape[0] // f
+    ids2d = row_ids.reshape(b, f)
+    safe2d = jnp.where(ids2d >= 0, ids2d, offs[None, :])
+    order_t = jnp.argsort(safe2d.T, axis=-1)  # (F, B) column sorts
+    return (order_t * f + jnp.arange(f, dtype=order_t.dtype)[:, None]
+            ).reshape(-1)
+
+
 def rowwise_update(
     table: jax.Array,
     state: Dict,
@@ -115,12 +141,17 @@ def rowwise_update(
     opt: OptimizerConfig,
     lr_scale: float = 1.0,
     max_unique: int | None = None,
+    field_offsets=None,
 ) -> Tuple[jax.Array, Dict]:
     """Apply a sparse per-row update. row_ids (N,), grads (N, W).
 
     Duplicates are pre-summed; sentinel id < 0 rows are dropped.
     max_unique: optional static bound on distinct ids (incl. one slot
     for the sentinel bucket); see _dedup_sum.
+    field_offsets: when row_ids flattens an (B, F) per-field id block
+    (column f in [offsets[f], offsets[f+1])), pass the F field offsets
+    to replace the global argsort with a cheaper batched per-field
+    sort on the streamed path.
     """
     w = table.shape[1]
     assert grads.shape[-1] == w
@@ -150,9 +181,17 @@ def rowwise_update(
         r = pick_tile(num_rows)
         m_pad = padded_entries(
             min(row_ids.shape[0], max_unique or row_ids.shape[0]), r)
-        order = jnp.argsort(safe_ids)
+        if (field_offsets is not None
+                and row_ids.shape[0] % len(tuple(field_offsets)) == 0):
+            offs = jnp.asarray(field_offsets, jnp.int32)
+            ids2d = row_ids.reshape(-1, offs.shape[0])
+            safe_flat = jnp.where(ids2d >= 0, ids2d, offs[None, :]).reshape(-1)
+            order = _per_field_sort_order(row_ids, field_offsets)
+        else:
+            safe_flat = safe_ids
+            order = jnp.argsort(safe_ids)
         uids, g, count = sorted_segment_sum_compact(
-            safe_ids[order], grads[order], m_pad)
+            safe_flat[order], grads[order], m_pad)
         uids_s = jnp.where(jnp.arange(m_pad) < count, uids,
                            num_rows).astype(jnp.int32)
         if opt.sparse_optimizer == "adagrad":

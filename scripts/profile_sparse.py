@@ -82,6 +82,92 @@ def main():
             out = f(out, uids, grads)
         _ = float(out[0, 0])
         dt = max(time.time() - t0 - rtt, 1e-9) / 10
+    elif sub == "sortonly":
+        @jax.jit
+        def f(ids):
+            return jnp.sum(jnp.argsort(ids))
+        dt = device_time(f, flat_ids, n=10, rtt=rtt)
+    elif sub == "sortpf":
+        from cffm_tpu.optim.rowwise import _per_field_sort_order
+        offs = tuple(int(o) for o in field_offsets(mcfg))
+
+        @jax.jit
+        def f(ids):
+            return jnp.sum(_per_field_sort_order(ids, offs))
+        dt = device_time(f, flat_ids, n=10, rtt=rtt)
+    elif sub == "sortgather_pf":
+        from cffm_tpu.optim.rowwise import _per_field_sort_order
+        offs = tuple(int(o) for o in field_offsets(mcfg))
+
+        @jax.jit
+        def f(ids, grads):
+            order = _per_field_sort_order(ids, offs)
+            return jnp.sum(ids[order]), jnp.sum(
+                grads[order].astype(jnp.float32))
+        dt = device_time(f, flat_ids, grads, n=10, rtt=rtt)
+    elif sub == "gatheronly":
+        order = jnp.argsort(flat_ids)
+
+        @jax.jit
+        def f(grads, order):
+            return jnp.sum(grads[order].astype(jnp.float32))
+        dt = device_time(f, grads, order, n=10, rtt=rtt)
+    elif sub == "sortgather":
+        @jax.jit
+        def f(flat_ids, grads):
+            order = jnp.argsort(flat_ids)
+            return jnp.sum(flat_ids[order]), jnp.sum(
+                grads[order].astype(jnp.float32))
+        dt = device_time(f, flat_ids, grads, n=10, rtt=rtt)
+    elif sub == "segkernel":
+        from cffm_tpu.optim.rowwise import unique_bound
+        from cffm_tpu.ops.sorted_segment import sorted_segment_sum_compact
+        from cffm_tpu.ops.streamed_update import padded_entries, pick_tile
+
+        r = pick_tile(mcfg.total_vocab)
+        m_pad = padded_entries(min(n, unique_bound(mcfg.vocab_sizes, batch)), r)
+        order = jnp.argsort(flat_ids)
+        sid = flat_ids[order]
+        sgrad = grads[order]
+
+        @jax.jit
+        def f(sid, sgrad):
+            uids, gsum, count = sorted_segment_sum_compact(sid, sgrad, m_pad)
+            return jnp.sum(gsum), jnp.sum(uids), count
+        dt = device_time(f, sid, sgrad, n=10, rtt=rtt)
+        print(f"  m_pad={m_pad} r={r}")
+    elif sub == "apply":
+        import functools
+
+        from cffm_tpu.optim.rowwise import unique_bound
+        from cffm_tpu.ops.sorted_segment import sorted_segment_sum_compact
+        from cffm_tpu.ops.streamed_update import (padded_entries, pick_tile,
+                                                  streamed_rowwise_apply)
+
+        table = 0.01 * jax.random.normal(
+            jax.random.key(0), (mcfg.total_vocab, w), jnp.float32)
+        accum = jnp.full((mcfg.total_vocab, 1), 0.01, jnp.float32)
+        r = pick_tile(mcfg.total_vocab)
+        m_pad = padded_entries(min(n, unique_bound(mcfg.vocab_sizes, batch)), r)
+        order = jnp.argsort(flat_ids)
+        uids, gsum, count = jax.jit(
+            lambda s, g: sorted_segment_sum_compact(s, g, m_pad)
+        )(flat_ids[order], grads[order])
+        uids_s = jnp.where(jnp.arange(m_pad) < count, uids,
+                           mcfg.total_vocab).astype(jnp.int32)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def f(table, accum, uids_s, gsum):
+            return streamed_rowwise_apply(
+                table, accum, uids_s, gsum, 0.01, 1e-8, r=r)
+        import time
+        table, accum = f(table, accum, uids_s, gsum)
+        _ = float(jnp.sum(accum))
+        t0 = time.time()
+        for _ in range(10):
+            table, accum = f(table, accum, uids_s, gsum)
+        _ = float(jnp.sum(accum))
+        dt = max(time.time() - t0 - rtt, 1e-9) / 10
     elif sub == "update":
         from cffm_tpu.optim.rowwise import rowwise_init, rowwise_update
         table = 0.01 * jax.random.normal(

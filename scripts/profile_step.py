@@ -6,6 +6,7 @@ Run each stage in a fresh process (clean HBM) and compare.
 """
 
 import dataclasses
+import functools
 import sys
 
 
@@ -96,9 +97,15 @@ def main():
             jax.random.key(1), (batch * mcfg.num_fields, mcfg.table_width),
             jnp.dtype(mcfg.compute_dtype)) * 0.01
 
-        @jax.jit
+        from cffm_tpu.optim.rowwise import unique_bound
+
+        mu = unique_bound(mcfg.vocab_sizes, batch)
+        offs = tuple(int(o) for o in field_offsets(mcfg))
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
         def f(table, st, flat_ids, grads):
-            return rowwise_update(table, st, flat_ids, grads, cfg.optim)
+            return rowwise_update(table, st, flat_ids, grads, cfg.optim,
+                                  max_unique=mu, field_offsets=offs)
 
         flat_ids = ids.reshape(-1)
         import time

@@ -96,6 +96,62 @@ def test_streamed_dense_touch_every_row():
     np.testing.assert_allclose(d_on, d_off, atol=0.01 * scale, rtol=0.01)
 
 
+@pytest.mark.parametrize("optimizer", ["adagrad", "sgd"])
+def test_streamed_partial_final_tile(optimizer):
+    """V=1000 with r=512: the final tile covers only 488 rows; the
+    sentinel id (1000) and the tile's padded region must be masked."""
+    v = 1000
+    table, ids, grads = _mk(4, n_ids=700, v=v)
+    ids[50:70] = v - 1  # hot at the very last real row
+    on = OptimizerConfig(sparse_optimizer=optimizer, sparse_lr=0.05,
+                         streamed_update="on")
+    off = dataclasses.replace(on, streamed_update="off")
+    t_on, s_on = _run(on, table, ids, grads)
+    t_off, s_off = _run(off, table, ids, grads)
+    assert t_on.shape == (v, W)
+    d_on = np.asarray(t_on) - table
+    d_off = np.asarray(t_off) - table
+    scale = np.abs(d_off).max()
+    np.testing.assert_allclose(d_on, d_off, atol=0.01 * scale, rtol=0.01)
+    touched = np.zeros(v, bool)
+    touched[ids[ids >= 0]] = True
+    np.testing.assert_array_equal(np.asarray(t_on)[~touched], table[~touched])
+    if optimizer == "adagrad":
+        np.testing.assert_allclose(np.asarray(s_on["accum"]),
+                                   np.asarray(s_off["accum"]),
+                                   rtol=1e-2, atol=1e-6)
+
+
+def test_per_field_sort_matches_global():
+    """field_offsets path (batched per-field sort, sentinel -> field
+    start) must produce the same update as the global-argsort path."""
+    rng = np.random.default_rng(7)
+    f, b = 4, 256
+    vocabs = [64, 200, 300, 460]  # sums to V=1024
+    offs = np.concatenate([[0], np.cumsum(vocabs)[:-1]]).astype(np.int32)
+    ids2d = np.stack(
+        [offs[j] + rng.integers(0, vocabs[j], size=b) for j in range(f)],
+        axis=1).astype(np.int32)
+    ids2d[::17, 2] = -1  # sentinels in one field
+    ids2d[3, :] = ids2d[4, :]  # duplicate example
+    ids = ids2d.reshape(-1)
+    grads = (rng.normal(size=(ids.size, W)) * 0.1).astype(np.float32)
+    table, _, _ = _mk(5)
+    opt = OptimizerConfig(sparse_optimizer="adagrad", sparse_lr=0.05,
+                          streamed_update="on")
+    st = rowwise_init(jnp.asarray(table), opt)
+    t_pf, s_pf = rowwise_update(
+        jnp.asarray(table), st, jnp.asarray(ids), jnp.asarray(grads), opt,
+        field_offsets=tuple(int(o) for o in offs))
+    t_gl, s_gl = rowwise_update(
+        jnp.asarray(table), st, jnp.asarray(ids), jnp.asarray(grads), opt)
+    np.testing.assert_allclose(np.asarray(t_pf), np.asarray(t_gl),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(s_pf["accum"]),
+                               np.asarray(s_gl["accum"]),
+                               rtol=1e-6, atol=1e-7)
+
+
 def test_auto_heuristic_gates_small_tables():
     from cffm_tpu.optim.rowwise import _should_stream
 
