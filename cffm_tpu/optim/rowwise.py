@@ -107,30 +107,37 @@ def _should_stream(table: jax.Array, opt: OptimizerConfig, n_ids: int,
     return v * w >= (1 << 24) and touched >= 0.08 * v
 
 
-def _per_field_sort_order(row_ids: jax.Array, field_offsets) -> jax.Array:
-    """Global ascending-order permutation via F independent column sorts.
+def _per_field_sorted(row_ids: jax.Array, field_offsets,
+                      mask_sentinels: bool):
+    """Sorted ids + global order via F independent column sorts.
 
     row_ids is the flattening of an (B, F) id block whose column f draws
     from the disjoint ascending range [offsets[f], offsets[f+1]) — the
     per-field structure of an embedding-id batch. Sorting each column
-    (a batched (F, B) sort, ~2x cheaper than one length-B*F sort: the
+    (a batched (F, B) sort, cheaper than one length-B*F sort: the
     bitonic network is O(n log^2 n) and the F-way batch vectorizes
     across sublanes) and concatenating by field IS a global sort.
     Sentinels (id < 0) are mapped to the field's first id — their grads
     are already zeroed, and a zero-grad touch is an exact no-op for the
     streamed adagrad/sgd apply (S += 0).
 
-    Returns indices into the flat (B*F,) layout; row_ids[order] is
-    globally ascending once sentinels are remapped the same way.
+    Returns (sid, order): the globally ascending ids and the matching
+    permutation of the flat (B*F,) layout. sort_key_val carries the
+    positions through the sort so the sorted ids come out directly —
+    a separate ids[order] gather is latency-bound (measured 9 ms for
+    1.28M int32 at criteo bench shapes, vs ~1 ms for the sort itself).
     """
     offs = jnp.asarray(field_offsets, jnp.int32)
     f = offs.shape[0]
     b = row_ids.shape[0] // f
     ids2d = row_ids.reshape(b, f)
-    safe2d = jnp.where(ids2d >= 0, ids2d, offs[None, :])
-    order_t = jnp.argsort(safe2d.T, axis=-1)  # (F, B) column sorts
-    return (order_t * f + jnp.arange(f, dtype=order_t.dtype)[:, None]
-            ).reshape(-1)
+    if mask_sentinels:
+        ids2d = jnp.where(ids2d >= 0, ids2d, offs[None, :])
+    keys = ids2d.T  # (F, B) column sorts
+    pos = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[None, :], (f, b))
+    sk, sv = jax.lax.sort_key_val(keys, pos, dimension=-1)
+    order = (sv * f + jnp.arange(f, dtype=jnp.int32)[:, None]).reshape(-1)
+    return sk.reshape(-1), order
 
 
 def rowwise_update(
@@ -142,6 +149,7 @@ def rowwise_update(
     lr_scale: float = 1.0,
     max_unique: int | None = None,
     field_offsets=None,
+    mask_sentinels: bool = True,
 ) -> Tuple[jax.Array, Dict]:
     """Apply a sparse per-row update. row_ids (N,), grads (N, W).
 
@@ -152,18 +160,25 @@ def rowwise_update(
     (column f in [offsets[f], offsets[f+1])), pass the F field offsets
     to replace the global argsort with a cheaper batched per-field
     sort on the streamed path.
+    mask_sentinels: pass False when the caller guarantees row_ids >= 0
+    (the single-host data layer hashes ids in-range) — skips a full
+    zeroing pass over grads (measured 5 ms on the 1.6 GB grad block).
     """
     w = table.shape[1]
     assert grads.shape[-1] == w
     row_ids = row_ids.reshape(-1)
     grads = grads.reshape(-1, w)  # dedup-summed in f32 downstream
-    sentinel_ok = row_ids >= 0
-    # Sentinels route to the out-of-bounds row num_rows (NOT row 0): a
-    # zero-grad "touch" of row 0 is harmless for adagrad but would still
-    # decay Adam's m/v and perturb the table, so sentinels must never
-    # form a real segment. mode="drop" scatters below discard them.
-    safe_ids = jnp.where(sentinel_ok, row_ids, table.shape[0])
-    grads = jnp.where(sentinel_ok[:, None], grads, jnp.zeros((), grads.dtype))
+    if mask_sentinels:
+        sentinel_ok = row_ids >= 0
+        # Sentinels route to the out-of-bounds row num_rows (NOT row 0):
+        # a zero-grad "touch" of row 0 is harmless for adagrad but would
+        # still decay Adam's m/v and perturb the table, so sentinels must
+        # never form a real segment. mode="drop" scatters discard them.
+        safe_ids = jnp.where(sentinel_ok, row_ids, table.shape[0])
+        grads = jnp.where(sentinel_ok[:, None], grads,
+                          jnp.zeros((), grads.dtype))
+    else:
+        safe_ids = row_ids
 
     use_streamed = _should_stream(table, opt, row_ids.shape[0], max_unique)
     lr = opt.sparse_lr * lr_scale
@@ -183,15 +198,12 @@ def rowwise_update(
             min(row_ids.shape[0], max_unique or row_ids.shape[0]), r)
         if (field_offsets is not None
                 and row_ids.shape[0] % len(tuple(field_offsets)) == 0):
-            offs = jnp.asarray(field_offsets, jnp.int32)
-            ids2d = row_ids.reshape(-1, offs.shape[0])
-            safe_flat = jnp.where(ids2d >= 0, ids2d, offs[None, :]).reshape(-1)
-            order = _per_field_sort_order(row_ids, field_offsets)
+            sid, order = _per_field_sorted(row_ids, field_offsets,
+                                           mask_sentinels)
         else:
-            safe_flat = safe_ids
-            order = jnp.argsort(safe_ids)
-        uids, g, count = sorted_segment_sum_compact(
-            safe_flat[order], grads[order], m_pad)
+            pos = jnp.arange(safe_ids.shape[0], dtype=jnp.int32)
+            sid, order = jax.lax.sort_key_val(safe_ids, pos)
+        uids, g, count = sorted_segment_sum_compact(sid, grads[order], m_pad)
         uids_s = jnp.where(jnp.arange(m_pad) < count, uids,
                            num_rows).astype(jnp.int32)
         if opt.sparse_optimizer == "adagrad":

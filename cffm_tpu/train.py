@@ -117,18 +117,21 @@ def train_step(
     flat_ids = ids.reshape(-1)
     max_u = unique_bound(mcfg.vocab_sizes, ids.shape[0])
     new_sparse = dict(state.sparse_opt_state)
+    # mask_sentinels=False: the single-host data layer hashes ids
+    # in-range, so the sentinel-zeroing pass over the 1.6 GB grad block
+    # is dead weight here (the sharded engine keeps masking on).
     offs = tuple(int(o) for o in model_lib.field_offsets(mcfg))
     new_table, new_sparse["embed"] = rowwise_update(
         new_params["embed"]["table"], state.sparse_opt_state["embed"],
         flat_ids, demb.reshape(-1, mcfg.table_width), cfg.optim,
-        max_unique=max_u, field_offsets=offs,
+        max_unique=max_u, field_offsets=offs, mask_sentinels=False,
     )
     new_params = dict(new_params, embed={"table": new_table})
     if separate_linear:
         new_lin, new_sparse["linear"] = rowwise_update(
             new_params["linear"]["table"], state.sparse_opt_state["linear"],
             flat_ids, dlin.reshape(-1, 1), cfg.optim, max_unique=max_u,
-            field_offsets=offs,
+            field_offsets=offs, mask_sentinels=False,
         )
         new_params = dict(new_params, linear=dict(new_params["linear"], table=new_lin))
 
