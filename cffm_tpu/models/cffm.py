@@ -119,6 +119,26 @@ def forward_from_rows(
     """
     b = emb_rows.shape[0]
     cdt = jnp.dtype(cfg.compute_dtype)
+
+    # Full-rows fast path: hand the Pallas kernel the raw physical rows
+    # (free reshape of the gather output) and let it slice fields and
+    # carry the fused first-order column in-kernel — the sliced path
+    # below costs ~25 ms/step of layout copies at criteo bench shapes
+    # (see ops/interaction_conv.cross_conv1_lin_pallas).
+    full_rows = getattr(interaction_fn, "full_rows", None)
+    if (full_rows is not None and cfg.fused_linear
+            and cfg.cross == "field_aware" and cfg.conv_kernel == 3
+            and cfg.embed_dim % 2 == 0 and params["conv"]):
+        emb2d = emb_rows.reshape(
+            b, cfg.num_fields * cfg.table_width).astype(cdt)
+        feats, lin_sum = full_rows(emb2d, params["conv"], cfg)
+        if dense is not None and cfg.num_dense > 0:
+            feats = jnp.concatenate([feats, dense.astype(cdt)], axis=-1)
+        logits = _tower(params, feats, cfg).astype(jnp.float32)
+        logits = logits + lin_sum
+        logits = logits + params["linear"]["bias"].astype(jnp.float32)
+        return logits
+
     emb = emb_rows.astype(cdt)
     if cfg.fused_linear:
         # first-order weights ride in the padding column (one gather)

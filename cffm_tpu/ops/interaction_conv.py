@@ -115,12 +115,16 @@ def _build_m2t(et, m2t, cfg: ModelConfig, p_pad: int, bt: int):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(e_ref, w2_ref, y_ref, m2t, *, cfg: ModelConfig,
-                p_pad: int, bt: int, c1: int):
+def _fwd_kernel(e_ref, w2_ref, *refs, cfg: ModelConfig,
+                p_pad: int, bt: int, c1: int, w_phys: int, lin: bool):
     f, d, k = cfg.num_fields, cfg.embed_dim, cfg.conv_kernel
     kw = k + 1  # tap window width for the 2-stacked-output trick
+    if lin:
+        y_ref, lin_ref, m2t = refs
+    else:
+        (y_ref,), m2t = refs[:-1], refs[-1]
 
-    et = _build_et(e_ref, f, cfg.row_width, bt)
+    et = _build_et(e_ref, f, w_phys, bt)
     _build_m2t(et, m2t, cfg, p_pad, bt)
 
     w2 = w2_ref[...]  # (2*C1, (k+1)*P_pad), pre-flattened on host
@@ -136,12 +140,25 @@ def _fwd_kernel(e_ref, w2_ref, y_ref, m2t, *, cfg: ModelConfig,
     y = jnp.swapaxes(y.reshape(d, c1, bt), 0, 1)  # (C1, d, Bt)
     y_ref[...] = y.reshape(c1 * d, bt).T.astype(y_ref.dtype)
 
+    if lin:
+        # first-order term from the fused column (row_width) of each
+        # physical row: f32 sum over fields, broadcast over 8 sublanes
+        # (the caller reads row 0) to avoid an in-kernel (bt,1) store.
+        lw = cfg.row_width
+        lin2 = jnp.sum(
+            et[:, lw : lw + 1, :].reshape(f, bt).astype(jnp.float32),
+            axis=0, keepdims=True)  # (1, Bt)
+        lin_ref[...] = jnp.broadcast_to(lin2, (8, bt))
+
 
 def _fwd_pallas(emb2d: jax.Array, w2: jax.Array, cfg: ModelConfig, bt: int,
-                interpret: bool) -> jax.Array:
-    """emb2d: (B, F*W) flat. w2: (2*C1, (k+1)*P_pad). Returns (B, C1*d)."""
+                interpret: bool, lin: bool = False):
+    """emb2d: (B, F*w_phys) flat physical rows (w_phys inferred; equals
+    row_width on the sliced path, table_width on the full-rows path).
+    w2: (2*C1, (k+1)*P_pad). Returns (B, C1*d) [+ (8, B) f32 lin sums]."""
     b, fw = emb2d.shape
-    f, w = cfg.num_fields, cfg.row_width
+    f = cfg.num_fields
+    w_phys = fw // f
     c2, kwp = w2.shape
     c1 = c2 // 2
     kw = cfg.conv_kernel + 1
@@ -149,22 +166,31 @@ def _fwd_pallas(emb2d: jax.Array, w2: jax.Array, cfg: ModelConfig, bt: int,
     d = cfg.embed_dim
     dtype = emb2d.dtype
 
-    kernel = functools.partial(_fwd_kernel, cfg=cfg, p_pad=p_pad, bt=bt, c1=c1)
-    return pl.pallas_call(
+    kernel = functools.partial(_fwd_kernel, cfg=cfg, p_pad=p_pad, bt=bt,
+                               c1=c1, w_phys=w_phys, lin=lin)
+    out_specs = [pl.BlockSpec((bt, c1 * d), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((b, c1 * d), dtype)]
+    if lin:
+        out_specs.append(pl.BlockSpec((8, bt), lambda i: (0, i),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((8, b), jnp.float32))
+    outs = pl.pallas_call(
         kernel,
         grid=(b // bt,),
         in_specs=[
             pl.BlockSpec((bt, fw), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c2, kwp), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bt, c1 * d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, c1 * d), dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((d + 2, p_pad, bt), dtype),   # M2T (padded halo)
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(emb2d, w2)
+    return outs if lin else outs[0]
 
 
 # ---------------------------------------------------------------------------
@@ -172,14 +198,18 @@ def _fwd_pallas(emb2d: jax.Array, w2: jax.Array, cfg: ModelConfig, bt: int,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(e_ref, wr_ref, g_ref, de_ref, dw_ref, m2t, dm2, gp, *,
-                cfg: ModelConfig, p_pad: int, bt: int, c1: int):
+def _bwd_kernel(e_ref, wr_ref, g_ref, *refs, cfg: ModelConfig,
+                p_pad: int, bt: int, c1: int, w_phys: int, lin: bool):
     f, d, k = cfg.num_fields, cfg.embed_dim, cfg.conv_kernel
     fa = cfg.cross == "field_aware"
     half = k // 2
+    if lin:
+        gl_ref, de_ref, dw_ref, m2t, dm2, gp = refs
+    else:
+        de_ref, dw_ref, m2t, dm2, gp = refs
 
     # Remat forward layout stages.
-    et = _build_et(e_ref, f, cfg.row_width, bt)
+    et = _build_et(e_ref, f, w_phys, bt)
     _build_m2t(et, m2t, cfg, p_pad, bt)
 
     # g (Bt, C1*d) -> gp (d+2, C1, Bt) zero-padded halo.
@@ -230,14 +260,23 @@ def _bwd_kernel(e_ref, wr_ref, g_ref, de_ref, dw_ref, m2t, dm2, gp, *,
                 de_blocks[i + 1 + jj][i] = db[jj]
             off += ni
         zero = jnp.zeros((d, bt), dm.dtype)
+        tail = []
+        if lin:
+            # first-order gradient rides the fused column (row_width);
+            # remaining pad lanes get exact zeros.
+            glin = gl_ref[0:1, :].astype(dm.dtype)  # (1, Bt)
+            tail = [glin]
+            if w_phys > cfg.row_width + 1:
+                tail.append(
+                    jnp.zeros((w_phys - cfg.row_width - 1, bt), dm.dtype))
         rows = []
         for i in range(f):
             rows.append(jnp.concatenate(
                 [de_blocks[i][j] if de_blocks[i][j] is not None else zero
-                 for j in range(f)],
+                 for j in range(f)] + tail,
                 axis=0,
-            ))  # (W, Bt)
-        de_full = jnp.concatenate(rows, axis=0)  # (F*W, Bt)
+            ))  # (w_phys, Bt)
+        de_full = jnp.concatenate(rows, axis=0)  # (F*w_phys, Bt)
         de_ref[...] = de_full.T.astype(de_ref.dtype)
     else:
         acc = [jnp.zeros((d, bt), jnp.float32) for _ in range(f)]
@@ -257,31 +296,42 @@ def _bwd_kernel(e_ref, wr_ref, g_ref, de_ref, dw_ref, m2t, dm2, gp, *,
         de_ref[...] = de_full.T.astype(de_ref.dtype)
 
 
-def _bwd_pallas(emb2d, wr, g, cfg: ModelConfig, bt: int, interpret: bool):
+def _bwd_pallas(emb2d, wr, g, cfg: ModelConfig, bt: int, interpret: bool,
+                glin=None):
     b, fw = emb2d.shape
-    f, w = cfg.num_fields, cfg.row_width
+    f = cfg.num_fields
+    w_phys = fw // f
     p_pad, kc = wr.shape
     k = cfg.conv_kernel
     c1 = kc // k
     d = cfg.embed_dim
     dtype = emb2d.dtype
-    kernel = functools.partial(_bwd_kernel, cfg=cfg, p_pad=p_pad, bt=bt, c1=c1)
+    lin = glin is not None
+    kernel = functools.partial(_bwd_kernel, cfg=cfg, p_pad=p_pad, bt=bt,
+                               c1=c1, w_phys=w_phys, lin=lin)
+    in_specs = [
+        pl.BlockSpec((bt, fw), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((p_pad, kc), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bt, c1 * d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    in_arrays = [emb2d, wr, g]
+    if lin:
+        in_specs.append(pl.BlockSpec((8, bt), lambda i: (0, i),
+                                     memory_space=pltpu.VMEM))
+        in_arrays.append(jnp.broadcast_to(
+            glin.astype(jnp.float32)[None, :], (8, b)))
     de, dw = pl.pallas_call(
         kernel,
         grid=(b // bt,),
-        in_specs=[
-            pl.BlockSpec((bt, fw), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((p_pad, kc), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, c1 * d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((bt, f * w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, fw), lambda i: (i, 0), memory_space=pltpu.VMEM),
             # one dW partial per batch tile; summed outside
             pl.BlockSpec((1, k, p_pad, c1), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, f * w), dtype),
+            jax.ShapeDtypeStruct((b, fw), dtype),
             jax.ShapeDtypeStruct((b // bt, k, p_pad, c1), jnp.float32),
         ],
         scratch_shapes=[
@@ -291,7 +341,7 @@ def _bwd_pallas(emb2d, wr, g, cfg: ModelConfig, bt: int, interpret: bool):
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(emb2d, wr, g)
+    )(*in_arrays)
     return de, jnp.sum(dw, axis=0)
 
 
@@ -300,7 +350,8 @@ def _bwd_pallas(emb2d, wr, g, cfg: ModelConfig, bt: int, interpret: bool):
 # ---------------------------------------------------------------------------
 
 
-def _pick_bt(b: int, dtype, cfg: ModelConfig, bwd: bool = False) -> int:
+def _pick_bt(b: int, dtype, cfg: ModelConfig, bwd: bool = False,
+             w_phys: int | None = None) -> int:
     """Largest batch tile dividing B that keeps VMEM within budget.
 
     Measured on v5e (F=39, d=16, C1=64, bf16): fwd throughput rises to
@@ -308,7 +359,7 @@ def _pick_bt(b: int, dtype, cfg: ModelConfig, bwd: bool = False) -> int:
     at bt=128 (1.33M ex/s fwd+bwd).
     """
     itemsize = jnp.dtype(dtype).itemsize
-    w = cfg.row_width
+    w = cfg.row_width if w_phys is None else w_phys
     d = cfg.embed_dim
     p_pad = _round_up(cfg.num_pairs, 8)
     per_lane = (3 * cfg.num_fields * w + 3 * p_pad * d) * itemsize
@@ -400,8 +451,90 @@ cross_conv1_pallas.defvjp(_cross_conv1_fwd, _cross_conv1_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Full-rows variant: consume raw physical table rows, emit full-width
+# grads with the fused first-order column handled in-kernel.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def cross_conv1_lin_pallas(emb2d: jax.Array, w1: jax.Array, cfg: ModelConfig,
+                           bt: int = 0, interpret: bool | None = None):
+    """Fused cross+conv1 + first-order sum on FULL physical rows.
+
+    emb2d: (B, F*table_width) — the lookup gather's output, reshaped for
+    free (row-major both ways). Returns (y (B, C1, d), lin (B,) f32)
+    where lin[b] = sum_f emb2d[b, f*table_width + row_width].
+
+    Why this exists: the sliced path (cross_conv1_pallas) forces XLA to
+    materialize the [..., :row_width] slice, a (B, F, row_width) layout
+    copy of it, the kernel-operand re-layout, and on the way back a
+    zero-pad + first-order-grad add + two more layout copies — ~25 ms
+    of pure data formatting per step at criteo bench shapes (traced).
+    Field slicing is free INSIDE the kernel (static VMEM slices), so
+    this variant takes the raw rows and hands back full-width grads
+    that feed the sparse update with zero intervening copies.
+    """
+    (y, lin), _ = _cross_conv1_lin_fwd(emb2d, w1, cfg, bt, interpret)
+    return y, lin
+
+
+def _cross_conv1_lin_fwd(emb2d, w1, cfg, bt, interpret):
+    assert cfg.cross == "field_aware" and cfg.fused_linear
+    assert cfg.embed_dim % 2 == 0 and cfg.conv_kernel == 3
+    if interpret is None:
+        interpret = _auto_interpret()
+    b, fw = emb2d.shape
+    assert fw == cfg.num_fields * cfg.table_width
+    if bt == 0:
+        bt = _pick_bt(b, emb2d.dtype, cfg, w_phys=cfg.table_width)
+    p_pad = _round_up(cfg.num_pairs, 8)
+    w2 = _prep_w_fwd(w1, cfg, p_pad, emb2d.dtype)
+    y2, lin8 = _fwd_pallas(emb2d, w2, cfg, bt, interpret, lin=True)
+    c1 = w1.shape[0]
+    y = y2.reshape(b, c1, cfg.embed_dim)
+    return (y, lin8[0]), (emb2d, w1)
+
+
+def _cross_conv1_lin_bwd(cfg, bt, interpret, res, gys):
+    emb2d, w1 = res
+    gy, glin = gys
+    if interpret is None:
+        interpret = _auto_interpret()
+    b = emb2d.shape[0]
+    if bt == 0:
+        bt = _pick_bt(b, emb2d.dtype, cfg, bwd=True, w_phys=cfg.table_width)
+    p_pad = _round_up(cfg.num_pairs, 8)
+    wr = _prep_w_bwd(w1, cfg, p_pad, emb2d.dtype)
+    c1, p, k = w1.shape
+    g2 = gy.reshape(b, c1 * cfg.embed_dim).astype(emb2d.dtype)
+    de2, dwp = _bwd_pallas(emb2d, wr, g2, cfg, bt, interpret, glin=glin)
+    dw = jnp.transpose(dwp[:, :p, :], (2, 1, 0)).astype(w1.dtype)
+    return de2.astype(emb2d.dtype), dw
+
+
+cross_conv1_lin_pallas.defvjp(_cross_conv1_lin_fwd, _cross_conv1_lin_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Drop-in interaction_fn for the model
 # ---------------------------------------------------------------------------
+
+
+def _conv_tail(x, conv_params, cfg: ModelConfig):
+    """bias/ReLU/pool + remaining (cheap) conv layers, in XLA."""
+    layer1 = conv_params[0]
+    x = x + layer1["b"].astype(x.dtype)[None, :, None]
+    x = jax.nn.relu(x)
+    if cfg.conv_pool > 1:
+        x = jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max,
+            window_dimensions=(1, 1, cfg.conv_pool),
+            window_strides=(1, 1, cfg.conv_pool), padding="VALID",
+        )
+    rest = list(conv_params[1:])
+    if rest:
+        return conv_core_reference(x, rest, cfg)
+    return x.reshape(x.shape[0], -1)
 
 
 def make_interaction_fn(use_pallas: bool = True, bt: int = 0,
@@ -410,6 +543,10 @@ def make_interaction_fn(use_pallas: bool = True, bt: int = 0,
 
     Layer 1 runs in the fused Pallas kernel (cross build + conv);
     bias/ReLU/pool and the remaining (cheap) conv layers run in XLA.
+    When use_pallas, the returned fn also carries a `.full_rows(emb2d,
+    conv_params, cfg) -> (feats, lin_sum)` attribute taking raw
+    physical table rows (see cross_conv1_lin_pallas); the model routes
+    through it when the config qualifies.
     """
 
     def interaction_fn(emb, conv_params, cfg: ModelConfig):
@@ -421,17 +558,15 @@ def make_interaction_fn(use_pallas: bool = True, bt: int = 0,
             x = cross_conv1_pallas(emb, layer1["w"], cfg, bt, interpret)
         else:
             x = cross_conv1_reference(emb, layer1["w"], cfg)
-        x = x + layer1["b"].astype(x.dtype)[None, :, None]
-        x = jax.nn.relu(x)
-        if cfg.conv_pool > 1:
-            x = jax.lax.reduce_window(
-                x, -jnp.inf, jax.lax.max,
-                window_dimensions=(1, 1, cfg.conv_pool),
-                window_strides=(1, 1, cfg.conv_pool), padding="VALID",
-            )
-        rest = list(conv_params[1:])
-        if rest:
-            return conv_core_reference(x, rest, cfg)
-        return x.reshape(x.shape[0], -1)
+        return _conv_tail(x, conv_params, cfg)
+
+    if use_pallas:
+        def full_rows(emb2d, conv_params, cfg: ModelConfig):
+            layer1 = conv_params[0]
+            y, lin_sum = cross_conv1_lin_pallas(emb2d, layer1["w"], cfg,
+                                                bt, interpret)
+            return _conv_tail(y, conv_params, cfg), lin_sum
+
+        interaction_fn.full_rows = full_rows
 
     return interaction_fn

@@ -99,3 +99,96 @@ def test_odd_shapes_padding():
     ref = cross_conv1_reference(emb, w1, cfg)
     got = cross_conv1_pallas(emb, w1, cfg, 8, True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_full_rows_forward_and_grad_parity():
+    """cross_conv1_lin_pallas on raw physical rows (lane-padded, fused
+    first-order column): forward and lin match the reference; the
+    cross-gradient block is BIT-IDENTICAL to the proven sliced kernel
+    (same in-kernel math; reference deviates only by f32 accumulation
+    order); the first-order column grad matches exactly and pad lanes
+    are exact zeros."""
+    from cffm_tpu.ops.interaction_conv import cross_conv1_lin_pallas
+
+    f, d, c1, b = 15, 16, 16, 16  # row_width 240 -> table_width 256
+    cfg = ModelConfig(
+        num_fields=f,
+        vocab_sizes=tuple([32] * f),
+        embed_dim=d,
+        cross="field_aware",
+        conv_channels=(c1,),
+        conv_kernel=3,
+        compute_dtype="float32",
+        use_first_order=True,
+    )
+    assert cfg.fused_linear, "test needs the fused-linear layout"
+    wp = cfg.table_width
+    rw = cfg.row_width
+    rng = np.random.default_rng(3)
+    emb2d = jnp.asarray(rng.normal(size=(b, f * wp)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(c1, cfg.num_pairs, 3)), jnp.float32)
+    rows = emb2d.reshape(b, f, wp)
+    emb4 = rows[..., :rw].reshape(b, f, f, d)
+
+    # forward: y vs reference, lin exact
+    y_f, lin_f = cross_conv1_lin_pallas(emb2d, w1, cfg, 8, True)
+    y_r = cross_conv1_reference(emb4, w1, cfg)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(lin_f),
+                               np.asarray(jnp.sum(rows[..., rw], axis=1)),
+                               rtol=1e-6, atol=1e-6)
+
+    # grads of a combined loss
+    def loss_full(e2, w):
+        y, lin = cross_conv1_lin_pallas(e2, w, cfg, 8, True)
+        return jnp.sum(y ** 2) + 2.0 * jnp.sum(lin * lin)
+
+    def loss_sliced(e4, w):
+        return jnp.sum(cross_conv1_pallas(e4, w, cfg, 8, True) ** 2)
+
+    ge_f, gw_f = jax.grad(loss_full, (0, 1))(emb2d, w1)
+    ge_s, gw_s = jax.grad(loss_sliced, (0, 1))(emb4, w1)
+    ge3 = np.asarray(ge_f).reshape(b, f, wp)
+    # cross block: bit-identical to the sliced kernel
+    np.testing.assert_array_equal(
+        ge3[..., :rw].reshape(b, f, f, d), np.asarray(ge_s))
+    np.testing.assert_array_equal(np.asarray(gw_f), np.asarray(gw_s))
+    # first-order column: d(2*lin^2)/drow = 4*lin, same for every field
+    np.testing.assert_allclose(
+        ge3[..., rw], np.broadcast_to(
+            4.0 * np.asarray(lin_f)[:, None], (b, f)), rtol=1e-6)
+    # pad lanes beyond the first-order column: exact zeros
+    np.testing.assert_array_equal(ge3[..., rw + 1:], 0.0)
+
+
+def test_model_full_rows_path_matches_reference_forward():
+    """forward_from_rows via interaction_fn.full_rows == reference
+    (interaction_fn=None) on a qualifying fused-linear config."""
+    from cffm_tpu.models import cffm as model_lib
+
+    f, d = 15, 16  # row_width 240 -> table_width 256 (fused linear)
+    cfg = ModelConfig(
+        num_fields=f,
+        vocab_sizes=tuple([32] * f),
+        embed_dim=d,
+        cross="field_aware",
+        conv_channels=(16,),
+        conv_kernel=3,
+        compute_dtype="float32",
+        use_first_order=True,
+    )
+    assert cfg.fused_linear
+    rng = np.random.default_rng(5)
+    params = model_lib.init_params(jax.random.key(0), cfg)
+    b = 16
+    rows = jnp.asarray(
+        rng.normal(size=(b, f, cfg.table_width)) * 0.1, jnp.float32)
+    dense = None
+    fn = make_interaction_fn(use_pallas=True, interpret=True)
+    got = model_lib.forward_from_rows(params, rows, None, dense, cfg,
+                                      interaction_fn=fn)
+    ref = model_lib.forward_from_rows(params, rows, None, dense, cfg,
+                                      interaction_fn=None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
