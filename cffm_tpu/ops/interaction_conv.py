@@ -218,18 +218,23 @@ def _bwd_kernel(e_ref, wr_ref, g_ref, *refs, cfg: ModelConfig,
     gp[d + 1] = jnp.zeros((c1, bt), gp.dtype)
     gp[1 : d + 1] = jnp.swapaxes(g_t, 0, 1)
 
-    # dW[t] = sum_x M2T[x + t - half] g_x^T  (contract batch lanes)
+    # dW[t] = sum_x M2T[x + t - half] g_x^T (contract batch lanes).
+    # One dot per conv position xin yields ALL k taps at once: stack the
+    # k g-slices gp[xin : xin+k] (taps in reverse order; gp's zero halo
+    # rows supply the boundary terms) along the C1 axis, so the loop
+    # issues d dots of (P_pad, Bt) @ (Bt, k*C1) instead of ~k*d dots of
+    # (P_pad, Bt) @ (Bt, C1) — same MACs, ~3x fewer MXU issues.
+    dw_all = jnp.zeros((p_pad, k * c1), jnp.float32)
+    for xin in range(d):
+        gw = gp[xin : xin + k].reshape(k * c1, bt)
+        dw_all += jax.lax.dot_general(
+            m2t[xin + 1], gw,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     for t in range(k):
-        dw_acc = jnp.zeros((p_pad, c1), jnp.float32)
-        for x in range(d):
-            xin = x + t - half
-            if 0 <= xin < d:
-                dw_acc += jax.lax.dot_general(
-                    m2t[xin + 1], gp[x + 1],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-        dw_ref[0, t] = dw_acc.astype(dw_ref.dtype)
+        dw_ref[0, t] = dw_all[:, (k - 1 - t) * c1 : (k - t) * c1].astype(
+            dw_ref.dtype)
 
     # dM2T[xin] = sum_t W_t^T g[xin - t + half]
     #           = Wr (P_pad, k*C1) @ gwin (k*C1, Bt), taps reversed in Wr.
