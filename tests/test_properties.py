@@ -73,3 +73,55 @@ def test_cross_map_symmetry(f, d, seed):
     e_swapped = jnp.swapaxes(e, 1, 2)  # e'[i,j] = e[j,i]
     m2 = build_cross_map(e_swapped, cfg)
     np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-6)
+
+
+@given(st.integers(min_value=1, max_value=300),
+       st.integers(min_value=1, max_value=60),
+       st.integers(min_value=0, max_value=3))
+@settings(max_examples=12, deadline=None)
+def test_sorted_segment_mass_and_ids(n, vmax, seed):
+    """Random sorted streams: segment count, id recovery, and gradient
+    mass are exactly preserved by the fused dedup kernel (interpret)."""
+    from cffm_tpu.ops.sorted_segment import EB, sorted_segment_sum_compact
+
+    rng = np.random.default_rng(seed)
+    sid = np.sort(rng.integers(0, vmax, size=n).astype(np.int32))
+    grads = rng.normal(size=(n, 128)).astype(np.float32)
+    m_pad = max(-(-n // EB), 1) * EB + EB
+    uids, gsum, count = sorted_segment_sum_compact(
+        jnp.asarray(sid), jnp.asarray(grads), m_pad)
+    ref_uids = np.unique(sid)
+    assert int(count) == len(ref_uids)
+    np.testing.assert_array_equal(np.asarray(uids)[: len(ref_uids)], ref_uids)
+    # mass: bf16 rounding per entry, so compare loosely but globally
+    np.testing.assert_allclose(
+        np.asarray(gsum, np.float32).sum(axis=0),
+        grads.astype(np.dtype("float32")).sum(axis=0),
+        rtol=2e-2, atol=2e-2 * max(1.0, np.abs(grads).sum() / 128))
+
+
+@given(st.integers(min_value=64, max_value=96),
+       st.integers(min_value=1, max_value=200),
+       st.integers(min_value=0, max_value=3),
+       st.sampled_from(["adagrad", "sgd"]))
+@settings(max_examples=8, deadline=None)
+def test_streamed_update_untouched_rows_invariant(v, n, seed, optimizer):
+    """For any id set, rows not in the batch are bit-identical after the
+    streamed update, and touched rows move (unless grads are zero)."""
+    import dataclasses as _dc
+
+    from cffm_tpu.optim.rowwise import rowwise_init, rowwise_update
+
+    rng = np.random.default_rng(seed)
+    table = rng.normal(size=(v, 128)).astype(np.float32)
+    ids = rng.integers(0, v, size=n).astype(np.int32)
+    grads = (rng.normal(size=(n, 128)) * 0.1).astype(np.float32)
+    opt = OptimizerConfig(sparse_optimizer=optimizer, sparse_lr=0.05,
+                          streamed_update="on")
+    st_ = rowwise_init(jnp.asarray(table), opt)
+    t_new, _ = rowwise_update(jnp.asarray(table), st_, jnp.asarray(ids),
+                              jnp.asarray(grads), opt)
+    touched = np.zeros(v, bool)
+    touched[ids] = True
+    np.testing.assert_array_equal(np.asarray(t_new)[~touched],
+                                  table[~touched])
