@@ -156,8 +156,7 @@ def _local_step_2d(params, dense_opt_state, sparse_opt_state, ids, dense,
     # sparse: ICI grad return within the host, then one dense shard-grad
     # psum across hosts so every replica applies the global update
     vs = table_local.shape[0]
-    row_ids, row_grads = se.grad_return(
-        demb.reshape(-1, w).astype(jnp.float32), routing, CHIP)
+    row_ids, row_grads = se.grad_return(demb.reshape(-1, w), routing, CHIP)
     g_dense = jax.lax.psum(_dense_table_grad(row_ids, row_grads, vs), HOST)
     new_sparse = dict(sparse_opt_state)
     new_table, new_sparse["embed"] = dense_rowwise_apply(

@@ -152,9 +152,14 @@ def grad_return(drows_flat: jax.Array, routing: Routing, axis: str
     guniq = jax.ops.segment_sum(dsorted.astype(jnp.float32), routing.seg,
                                 num_segments=n)          # (n, W) per unique k
 
-    send = jnp.zeros((t, c, w), jnp.float32)
+    # Exchange payload rides in the caller's grad dtype: summation stays
+    # f32-exact above; a bf16 compute dtype then halves the reverse
+    # all-to-all's ICI bytes (one bf16 rounding of the per-unique sums,
+    # same rounding class as the single-chip dedup kernel's bf16 gsum).
+    send = jnp.zeros((t, c, w), drows_flat.dtype)
     safe_owner = jnp.where(routing.valid_k, routing.owner_k, t)
-    send = send.at[safe_owner, routing.rank_k].add(guniq, mode="drop")
+    send = send.at[safe_owner, routing.rank_k].add(
+        guniq.astype(drows_flat.dtype), mode="drop")
 
     got = jax.lax.all_to_all(send, axis, 0, 0, tiled=False)  # (T, C, W)
     row_ids = jnp.where(routing.recv_valid, routing.recv_ids, -1).reshape(-1)

@@ -134,8 +134,7 @@ def _local_step(params, dense_opt_state, sparse_opt_state, ids, dense, labels,
     new_params = merge_dense_params(params, new_dense)
 
     # sparse: reverse all-to-all, per-row update local to the shard
-    row_ids, row_grads = se.grad_return(
-        demb.reshape(-1, w).astype(jnp.float32), routing, AXIS)
+    row_ids, row_grads = se.grad_return(demb.reshape(-1, w), routing, AXIS)
     # distinct local rows are bounded by the shard's row count
     max_u = int(table_local.shape[0]) + 1
     new_sparse = dict(sparse_opt_state)
