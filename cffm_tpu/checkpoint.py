@@ -8,10 +8,8 @@ different T requires `reshard_tables` (natural-layout round trip).
 
 from __future__ import annotations
 
-import dataclasses
-import json
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -28,13 +28,11 @@ them locally (no dense table-sized gradients ever exist).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from cffm_tpu.config import OptimizerConfig
 
 
 class Routing(NamedTuple):

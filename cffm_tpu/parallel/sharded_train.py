@@ -15,7 +15,7 @@ replicas bit-identical without a broadcast.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +28,6 @@ from cffm_tpu.config import TrainConfig
 from cffm_tpu.models import cffm as model_lib
 from cffm_tpu.optim.rowwise import make_dense_optimizer, rowwise_init, rowwise_update
 from cffm_tpu.parallel import sharded_embedding as se
-from cffm_tpu.parallel.mesh import make_mesh
 from cffm_tpu.train import TrainState, merge_dense_params, split_dense_params
 
 AXIS = "data"
