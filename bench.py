@@ -114,10 +114,37 @@ def _run_reader_fed(cfg, batch: int) -> float:
 
 def main(argv=None):
     import argparse
+    import os
+    import threading
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--feed", choices=("staged", "reader"), default="staged")
+    ap.add_argument("--timeout", type=int, default=900,
+                    help="whole-run watchdog seconds. The TPU relay can die "
+                    "mid-session, turning device ops into infinite hangs "
+                    "inside PJRT C++ calls — not exceptions, and Python "
+                    "signal handlers never fire while the GIL-holding call "
+                    "blocks. A daemon thread prints the JSON line and "
+                    "hard-exits instead; a benchmark that can hang forever "
+                    "is not a benchmark.")
     args = ap.parse_args(argv)
+
+    def _watchdog():
+        out = {
+            "metric": "criteo_kaggle_train_step_examples_per_s_per_chip",
+            "value": 0.0,
+            "unit": "examples/s",
+            "vs_baseline": 0.0,
+            "error": f"timeout after {args.timeout}s "
+                     "(device/relay unresponsive)",
+        }
+        print(json.dumps(out), flush=True)
+        os._exit(0)
+
+    if args.timeout > 0:
+        timer = threading.Timer(args.timeout, _watchdog)
+        timer.daemon = True
+        timer.start()
 
     batch = 32768
     value = 0.0
