@@ -283,6 +283,10 @@ def dense_rowwise_apply(table: jax.Array, state: Dict, g: jax.Array,
     path, so it is not offered here.
     """
     lr = opt.sparse_lr * lr_scale
+    # grads may arrive in the compute dtype (bf16 over the DCN psum);
+    # the accumulator/delta math must run f32 — mean(g*g) in bf16 loses
+    # the accumulator's low bits every step.
+    g = g.astype(jnp.float32)
     if opt.sparse_optimizer == "adagrad":
         new_accum = state["accum"] + jnp.mean(g * g, axis=-1, keepdims=True)
         delta = -lr * g / (jnp.sqrt(new_accum) + opt.eps)
