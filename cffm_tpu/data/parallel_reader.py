@@ -34,11 +34,18 @@ def ordered_parallel_map(
     cv = threading.Condition()
     end_seq = [None]  # total item count once the feeder finishes
     stop = threading.Event()
+    # Bounds TOTAL unconsumed items (queued + parsing + reassembled):
+    # without it a stalled consumer (e.g. a hung TPU relay) lets the
+    # workers parse the entire input into the reassembly dict. Gating
+    # the FEEDER (not the workers) cannot deadlock: the next-needed seq
+    # is always already admitted.
+    slots = threading.Semaphore(depth + num_threads)
 
     def feeder():
         seq = 0
         try:
             for item in items:
+                slots.acquire()
                 if stop.is_set():
                     return
                 in_q.put((seq, item))
@@ -82,11 +89,13 @@ def ordered_parallel_map(
                     if nxt not in results:
                         return
                     res = results.pop(nxt)
+                slots.release()
                 nxt += 1
                 if isinstance(res, Exception):
                     raise res
                 yield res
         finally:
             stop.set()
+            slots.release()  # unblock a feeder parked in acquire()
 
     return gen()

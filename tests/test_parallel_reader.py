@@ -81,3 +81,27 @@ def test_mt_reader_deterministic_across_thread_counts(criteo_file):
     for (ai, ad, al), (bi, bd, bl) in zip(a, b):
         np.testing.assert_array_equal(ai, bi)
         np.testing.assert_array_equal(al, bl)
+
+
+def test_feeder_bounded_when_consumer_stalls():
+    """A stalled consumer (e.g. hung device) must NOT let the pipeline
+    parse unboundedly ahead — total unconsumed items are capped at
+    depth + num_threads."""
+    import time
+
+    from cffm_tpu.data.parallel_reader import ordered_parallel_map
+
+    produced = []
+
+    def src():
+        for i in range(10000):
+            produced.append(i)
+            yield i
+
+    g = ordered_parallel_map(src(), lambda x: x * 2, num_threads=4, depth=8)
+    first = next(g)
+    time.sleep(0.5)  # consumer stall: feeder must park on the slot cap
+    assert first == 0
+    assert len(produced) <= 8 + 4 + 2, f"feeder ran ahead: {len(produced)}"
+    out = [first] + [next(g) for _ in range(99)]
+    assert out == [2 * i for i in range(100)]
