@@ -119,6 +119,8 @@ def main(argv=None):
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--feed", choices=("staged", "reader"), default="staged")
+    ap.add_argument("--batch", type=int, default=32768,
+                    help="starting batch size (halves on device OOM)")
     ap.add_argument("--timeout", type=int, default=900,
                     help="whole-run watchdog seconds. The TPU relay can die "
                     "mid-session, turning device ops into infinite hangs "
@@ -146,7 +148,7 @@ def main(argv=None):
         timer.daemon = True
         timer.start()
 
-    batch = 32768
+    batch = args.batch
     value = 0.0
     error = None
     while batch >= 4096:
