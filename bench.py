@@ -92,15 +92,17 @@ def _run_reader_fed(cfg, batch: int) -> float:
         _write_criteo(path, rows)
         cfg = dataclasses.replace(
             cfg, data=dataclasses.replace(cfg.data, path=path, dataset="criteo"))
+        from cffm_tpu.data.loader import device_prefetch
+
         ds = make_dataset(cfg, prefetch=4)
+        dev_ds = device_prefetch(
+            ds, lambda x: None if x is None else jnp.asarray(x))
         interaction_fn = default_interaction_fn(cfg)
         state = create_state(cfg, jax.random.key(0))
 
         def one_step(state):
-            b = next(ds)
-            return train_step(state, jnp.asarray(b["ids"]),
-                              jnp.asarray(b["dense"]),
-                              jnp.asarray(b["labels"]), cfg, interaction_fn)
+            ids, dense, labels = next(dev_ds)
+            return train_step(state, ids, dense, labels, cfg, interaction_fn)
 
         state, _ = one_step(state)  # compile + warm the prefetch pipe
         rtt = measure_rtt()

@@ -68,6 +68,43 @@ def _raw_iterator(cfg: TrainConfig, process_index: int, process_count: int,
                              stream_seed=stream))
 
 
+def device_prefetch(batches: Iterator[dict], to_device, depth: int = 2):
+    """Stage (ids, dense, labels) on device from a background thread.
+
+    jax puts are async-dispatched, but issuing them from the training
+    loop still serializes transfer SETUP with step dispatch; a staging
+    thread keeps `depth` device-resident batches ahead so the H2D
+    transfer fully overlaps the previous step's compute. Yields
+    (ids, dense, labels) device arrays.
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def producer():
+        try:
+            for b in batches:
+                if stop.is_set():
+                    return
+                q.put((to_device(b["ids"]), to_device(b["dense"]),
+                       to_device(b["labels"])))
+        finally:
+            q.put(None)
+
+    threading.Thread(target=producer, daemon=True).start()
+
+    def consumer():
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
+
+    return consumer()
+
+
 def make_dataset(
     cfg: TrainConfig,
     process_index: int = 0,

@@ -273,16 +273,16 @@ def run(cfg: TrainConfig, interaction_fn=None, log_fn=print) -> Dict:
             )
         return {k: float(v) for k, v in metrics.auc_state_finalize(auc_state).items()}
 
+    from cffm_tpu.data.loader import device_prefetch
+
+    dev_ds = device_prefetch(ds, to_device)
     t0 = time.time()
     examples = 0
     last_loss = float("nan")
     for step in range(start_step, cfg.data.num_train_steps):
-        batch = next(ds)
-        state, m = step_fn(
-            state, to_device(batch["ids"]), to_device(batch["dense"]),
-            to_device(batch["labels"]),
-        )
-        examples += len(batch["labels"])
+        ids, dense, labels = next(dev_ds)
+        state, m = step_fn(state, ids, dense, labels)
+        examples += int(labels.shape[0])
         if cfg.log_every and (step + 1) % cfg.log_every == 0:
             last_loss = float(m["loss"])
             elapsed = time.time() - t0
