@@ -44,6 +44,8 @@ def _run_once(batch: int, feed: str = "staged") -> float:
 
     if feed == "reader":
         return _run_reader_fed(cfg, batch)
+    if feed == "score":
+        return _run_score(cfg, batch)
 
     rng = np.random.default_rng(0)
     ids_local = np.stack(
@@ -68,6 +70,38 @@ def _run_once(batch: int, feed: str = "staged") -> float:
     _ = float(m["loss"])
     total = time.time() - t0
     dt = max(total - rtt, 1e-9) / n
+    return batch / dt
+
+
+def _run_score(cfg, batch: int) -> float:
+    """Inference/serving throughput: forward-only logits on staged
+    batches (the scoring path, cffm_tpu/score.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cffm_tpu.models import cffm as model_lib
+    from cffm_tpu.models.cffm import field_offsets
+    from cffm_tpu.train import create_state, default_interaction_fn
+    from cffm_tpu.utils.timing import device_time, measure_rtt
+
+    mcfg = cfg.model
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(
+        np.stack([rng.integers(0, v, size=batch) for v in mcfg.vocab_sizes],
+                 axis=1).astype(np.int32)
+        + field_offsets(mcfg)[None, :].astype(np.int32))
+    dense = jnp.asarray(rng.normal(size=(batch, 13)), jnp.float32)
+    state = create_state(cfg, jax.random.key(0))
+    interaction_fn = default_interaction_fn(cfg)
+
+    @jax.jit
+    def score(params, ids, dense):
+        return model_lib.forward(params, ids, dense, mcfg,
+                                 interaction_fn=interaction_fn)
+
+    rtt = measure_rtt()
+    dt = device_time(score, state.params, ids, dense, n=10, rtt=rtt)
     return batch / dt
 
 
@@ -120,7 +154,8 @@ def main(argv=None):
     import threading
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--feed", choices=("staged", "reader"), default="staged")
+    ap.add_argument("--feed", choices=("staged", "reader", "score"),
+                    default="staged")
     ap.add_argument("--batch", type=int, default=32768,
                     help="starting batch size (halves on device OOM)")
     ap.add_argument("--timeout", type=int, default=900,
@@ -135,7 +170,9 @@ def main(argv=None):
 
     def _watchdog():
         out = {
-            "metric": "criteo_kaggle_train_step_examples_per_s_per_chip",
+            "metric": ("criteo_kaggle_score_examples_per_s_per_chip"
+                   if args.feed == "score" else
+                   "criteo_kaggle_train_step_examples_per_s_per_chip"),
             "value": 0.0,
             "unit": "examples/s",
             "vs_baseline": 0.0,
@@ -169,7 +206,9 @@ def main(argv=None):
                 pass
 
     out = {
-        "metric": "criteo_kaggle_train_step_examples_per_s_per_chip",
+        "metric": ("criteo_kaggle_score_examples_per_s_per_chip"
+                   if args.feed == "score" else
+                   "criteo_kaggle_train_step_examples_per_s_per_chip"),
         "value": round(value, 1),
         "unit": "examples/s",
         "vs_baseline": round(value / 125000.0, 3),
