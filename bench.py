@@ -148,6 +148,48 @@ def _run_reader_fed(cfg, batch: int) -> float:
     return batch / (max(total - rtt, 1e-9) / n)
 
 
+_LAST_GOOD = "BENCH_LAST_GOOD.json"
+
+
+def _record_last_good(out: dict) -> None:
+    """Persist a successful live measurement next to the repo root."""
+    import os
+    import time as _t
+
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            _LAST_GOOD)
+        hist = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                hist = json.load(f)
+        hist[out["metric"]] = dict(out, measured_at=_t.strftime(
+            "%Y-%m-%d %H:%M:%S"))
+        with open(path, "w") as f:
+            json.dump(hist, f, indent=1)
+    except Exception:  # noqa: BLE001 — recording must never break a bench
+        pass
+
+
+def _attach_last_good(out: dict, feed: str) -> None:
+    """On a dead device, attach the most recent LIVE measurement —
+    clearly labeled, so a relay outage at capture time doesn't erase a
+    real number (the value field stays 0: it was not measured now)."""
+    import os
+
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            _LAST_GOOD)
+        if os.path.exists(path):
+            with open(path) as f:
+                hist = json.load(f)
+            prev = hist.get(out["metric"])
+            if prev:
+                out["last_good"] = prev
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def main(argv=None):
     import argparse
     import os
@@ -179,6 +221,7 @@ def main(argv=None):
             "error": f"timeout after {args.timeout}s "
                      "(device/relay unresponsive)",
         }
+        _attach_last_good(out, args.feed)
         print(json.dumps(out), flush=True)
         os._exit(0)
 
@@ -218,6 +261,9 @@ def main(argv=None):
         out["feed"] = args.feed
     if error:
         out["error"] = error
+        _attach_last_good(out, args.feed)
+    else:
+        _record_last_good(out)
     print(json.dumps(out))
     return 0
 
