@@ -81,6 +81,28 @@ def main():
             if rate > best[0]:
                 best = (rate, nt)
 
+        # Pre-hashed .cfb path: parse cost paid once at conversion,
+        # steady-state reads are memmap row-slice copies.
+        from cffm_tpu.data.prehash import convert
+        from cffm_tpu.data.prehashed import prehashed_batches
+
+        cfb = os.path.join(d, "criteo.cfb")
+        t0 = time.time()
+        n_conv = convert(path, cfb, cfg, "criteo", chunk=args.batch)
+        conv_rate = n_conv / (time.time() - t0)
+        it = prehashed_batches(cfb, cfg, args.batch, shuffle=True)
+        next(it)
+        n_rows, t0 = 0, time.time()
+        while n_rows < args.rows:
+            ids, _dense, _lab = next(it)
+            n_rows += len(ids)
+        rate = n_rows / (time.time() - t0)
+        print(json.dumps({"metric": "input_rows_per_s_prehashed",
+                          "value": round(rate, 0),
+                          "convert_rows_per_s": round(conv_rate, 0)}))
+        if rate > best[0]:
+            best = (rate, 0)
+
     print(json.dumps({
         "metric": "input_rows_per_s_best", "value": round(best[0], 0),
         "unit": "rows/s", "threads": best[1],

@@ -107,9 +107,15 @@ class OptimizerConfig:
 
 @dataclasses.dataclass(frozen=True)
 class DataConfig:
-    dataset: str = "synthetic"  # synthetic | criteo | avazu | movielens
-    path: Optional[str] = None  # TSV/file location (None -> synthetic)
+    dataset: str = "synthetic"  # synthetic | criteo | avazu | movielens | prehashed
+    path: Optional[str] = None  # TSV/.cfb/file location (None -> synthetic)
     batch_size: int = 4096  # global batch size
+    # Train-stream shuffling (val streams are never shuffled).
+    # Prehashed (.cfb) readers use a seeded per-epoch block+row
+    # permutation; streaming TSV readers use a `shuffle_buffer`-row
+    # uniform reservoir (loader.shuffled_batches). Off by default:
+    # file order keeps parity paths bit-reproducible.
+    shuffle: bool = False
     shuffle_buffer: int = 1 << 14
     num_train_steps: int = 1000
     eval_every: int = 0  # 0 = eval only at the end

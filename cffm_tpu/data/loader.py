@@ -9,6 +9,7 @@ Criteo/Avazu files are optional.
 
 from __future__ import annotations
 
+import itertools
 import os
 import queue
 import threading
@@ -32,30 +33,95 @@ class Batch(dict):
     __getattr__ = dict.__getitem__
 
 
+def shuffled_batches(raw, buffer_rows: int, seed: int = 0):
+    """Uniform shuffle-buffer over a stream of exact-size batches.
+
+    Vectorized equivalent of tf.data's element-wise reservoir: keep a
+    `buffer_rows` pool; for each incoming batch of B rows, emit B rows
+    drawn (without replacement) from uniformly random pool positions and
+    write the incoming rows into those slots. Emission starts once the
+    pool is full; on stream end the pool flushes in permuted order as
+    full batches (the final partial batch is dropped, matching
+    readers._rebatch's tail rule).
+    """
+    rng = np.random.default_rng(seed)
+    raw = iter(raw)
+    first = next(raw, None)
+    if first is None:
+        return
+    batch = len(first[0])
+    buffer_rows = max(buffer_rows, batch)  # must hold >= one emit's worth
+    has_dense = first[1] is not None
+
+    def split_rows(pool, pos):
+        out = tuple(None if c is None else c[pos] for c in pool)
+        return out
+
+    pool = None
+    for item in itertools.chain([first], raw):
+        ids, dense, label = item
+        if pool is None or len(pool[0]) < buffer_rows:
+            cols = (ids, dense if has_dense else None, label)
+            if pool is None:
+                pool = tuple(None if c is None else np.array(c) for c in cols)
+            else:
+                pool = tuple(
+                    None if c is None else np.concatenate([p, c])
+                    for p, c in zip(pool, cols))
+            continue
+        pos = rng.choice(len(pool[0]), size=batch, replace=False)
+        yield split_rows(pool, pos)
+        pool[0][pos] = ids
+        if has_dense:
+            pool[1][pos] = dense
+        pool[2][pos] = label
+    if pool is not None:
+        perm = rng.permutation(len(pool[0]))
+        for s in range(0, len(perm) - batch + 1, batch):
+            yield split_rows(pool, perm[s:s + batch])
+
+
 def _raw_iterator(cfg: TrainConfig, process_index: int, process_count: int,
                   split: str = "train"):
     d = cfg.data
     path_ok = d.path is not None and os.path.exists(d.path)
     per_host = d.batch_size // process_count
     ve = d.val_every
+    if path_ok and not os.path.isdir(d.path):
+        from cffm_tpu.data.prehashed import is_prehashed, prehashed_batches
+        if d.dataset == "prehashed" or is_prehashed(d.path):
+            # Pre-hashed .cfb fast path: parse/hash already paid at
+            # conversion; shuffle only the train stream (eval order is
+            # irrelevant and determinism simplifies AUC comparisons).
+            return prehashed_batches(
+                d.path, cfg.model, per_host, process_index, process_count,
+                split=split, val_every=ve,
+                shuffle=d.shuffle and split == "train", seed=d.seed)
+    def maybe_shuffle(it):
+        if d.shuffle and split == "train" and d.shuffle_buffer > 0:
+            return shuffled_batches(it, d.shuffle_buffer, seed=d.seed)
+        return it
+
     if d.dataset == "criteo" and path_ok:
         from cffm_tpu.data import native
         if native.available() and d.reader_threads > 1:
-            return criteo_batches_native_mt(
+            return maybe_shuffle(criteo_batches_native_mt(
                 d.path, cfg.model, per_host, process_index, process_count,
-                split=split, val_every=ve, num_threads=d.reader_threads)
+                split=split, val_every=ve, num_threads=d.reader_threads))
         reader = criteo_batches_native if native.available() else criteo_batches
-        return reader(d.path, cfg.model, per_host, process_index, process_count,
-                      split=split, val_every=ve)
+        return maybe_shuffle(
+            reader(d.path, cfg.model, per_host, process_index, process_count,
+                   split=split, val_every=ve))
     if d.dataset == "avazu" and path_ok:
         from cffm_tpu.data import native
         if native.available() and d.reader_threads > 1:
-            return avazu_batches_native_mt(
+            return maybe_shuffle(avazu_batches_native_mt(
                 d.path, cfg.model, per_host, process_index, process_count,
-                split=split, val_every=ve, num_threads=d.reader_threads)
+                split=split, val_every=ve, num_threads=d.reader_threads))
         reader = avazu_batches_native if native.available() else avazu_batches
-        return reader(d.path, cfg.model, per_host, process_index, process_count,
-                      split=split, val_every=ve)
+        return maybe_shuffle(
+            reader(d.path, cfg.model, per_host, process_index, process_count,
+                   split=split, val_every=ve))
     if d.dataset == "movielens" and path_ok:
         return movielens_batches(d.path, cfg.model, per_host,
                                  seed=d.seed + process_index,

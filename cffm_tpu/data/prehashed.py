@@ -1,0 +1,150 @@
+"""Pre-hashed binary dataset format (.cfb) — parse+hash once, read at
+memory speed forever after.
+
+SURVEY.md §8 hard part #5: the ≥1M ex/s target can bottleneck on host
+TSV parsing; the prescribed mitigation is "pre-hash to a binary
+format". This module is that format:
+
+    header (32 B): magic b"CFB1" | u32 version | u32 num_fields F
+                   | u32 num_dense D | u64 num_rows N | 8 B reserved
+    body: N records of (F + D + 1) little-endian 4-byte words —
+          F int32 local per-field ids, D float32 dense, 1 float32 label
+
+A uniform 4-byte word stride means the whole body memmaps as ONE
+int32 (N, F+D+1) array; a batch is a contiguous row-slice copy
+(~GB/s, i.e. tens of millions of rows/s — the parse cost is paid once
+at conversion). Dense/label words reinterpret via same-itemsize
+``.view(np.float32)``.
+
+Reader semantics mirror the streaming TSV readers (readers.py):
+blocks of ``batch_size`` rows take the role of chunks — every
+``val_every``-th block is held out for eval, the rest round-robin
+across hosts by a population counter (readers._chunk_selector is
+reused verbatim, so split/shard behavior is identical by
+construction). ``shuffle=True`` adds a seeded per-epoch permutation of
+this host's block order plus an in-block row permutation — determinism
+per (seed, epoch) is preserved, so checkpoint resume's skip_batches
+fast-forward stays exact.
+
+Convert with:  python -m cffm_tpu.data.prehash IN OUT --config=...
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from cffm_tpu.config import ModelConfig
+from cffm_tpu.data.readers import _chunk_selector
+
+MAGIC = b"CFB1"
+VERSION = 1
+HEADER_BYTES = 32
+_HEADER = struct.Struct("<4sIIIQ8x")  # magic, version, F, D, N, pad
+
+assert _HEADER.size == HEADER_BYTES
+
+
+def write_header(f, num_fields: int, num_dense: int, num_rows: int) -> None:
+    f.write(_HEADER.pack(MAGIC, VERSION, num_fields, num_dense, num_rows))
+
+
+def read_header(path: str) -> Tuple[int, int, int]:
+    """-> (num_fields, num_dense, num_rows). Raises on bad magic."""
+    with open(path, "rb") as f:
+        magic, version, nf, nd, n = _HEADER.unpack(f.read(HEADER_BYTES))
+    if magic != MAGIC:
+        raise ValueError(f"{path}: not a CFB file (magic {magic!r})")
+    if version != VERSION:
+        raise ValueError(f"{path}: CFB version {version} unsupported")
+    return nf, nd, n
+
+
+def is_prehashed(path: str) -> bool:
+    """True iff path exists and starts with the CFB magic."""
+    try:
+        with open(path, "rb") as f:
+            return f.read(4) == MAGIC
+    except OSError:
+        return False
+
+
+def write_prehashed(out_path: str, batches, num_fields: int,
+                    num_dense: int) -> int:
+    """Stream (ids, dense|None, label) numpy batches to a .cfb file.
+
+    Patches the row count into the header at close. Returns rows
+    written. ids must be LOCAL per-field (what readers.py yields —
+    loader.py applies the global field offsets at read time).
+    """
+    n = 0
+    with open(out_path, "wb") as f:
+        write_header(f, num_fields, num_dense, 0)
+        for ids, dense, label in batches:
+            b = len(ids)
+            rec = np.empty((b, num_fields + num_dense + 1), dtype=np.int32)
+            rec[:, :num_fields] = ids
+            fwords = rec[:, num_fields:].view(np.float32)
+            if num_dense:
+                fwords[:, :num_dense] = dense
+            fwords[:, num_dense] = label
+            f.write(rec.tobytes())
+            n += b
+        f.seek(0)
+        write_header(f, num_fields, num_dense, n)
+    return n
+
+
+def _open_memmap(path: str):
+    nf, nd, n = read_header(path)
+    width = nf + nd + 1
+    mm = np.memmap(path, dtype="<i4", mode="r", offset=HEADER_BYTES,
+                   shape=(n, width))
+    return nf, nd, n, mm
+
+
+def prehashed_batches(
+    path: str, cfg: ModelConfig, batch_size: int,
+    shard_index: int = 0, num_shards: int = 1, repeat: bool = True,
+    split: str = "train", val_every: int = 0,
+    shuffle: bool = False, seed: int = 0,
+) -> Iterator[Tuple[np.ndarray, Optional[np.ndarray], np.ndarray]]:
+    """Yield exact (ids, dense|None, label) batches from a .cfb file.
+
+    Same contract as readers.criteo_batches: local per-field ids, dense
+    may be None (when the file has 0 dense words or cfg.num_dense == 0),
+    every batch exactly batch_size rows (the final partial block is
+    dropped, matching _rebatch's tail behavior).
+    """
+    nf, nd, n, mm = _open_memmap(path)
+    if nf != cfg.num_fields:
+        raise ValueError(
+            f"{path}: file has {nf} fields, config wants {cfg.num_fields}")
+    want_dense = cfg.num_dense > 0 and nd > 0
+    num_blocks = n // batch_size
+
+    epoch = 0
+    while True:
+        take = _chunk_selector(split, val_every, shard_index, num_shards)
+        mine = [i for i in range(num_blocks) if take(i)]
+        if shuffle:
+            # (seed, epoch)-keyed so resume-by-skip replays the same order
+            order = np.random.default_rng((seed, epoch)).permutation(len(mine))
+            mine = [mine[int(i)] for i in order]
+        for blk in mine:
+            rec = np.array(mm[blk * batch_size:(blk + 1) * batch_size])
+            if shuffle:
+                perm = np.random.default_rng((seed, epoch, blk)).permutation(
+                    batch_size)
+                rec = rec[perm]
+            ids = rec[:, :nf]
+            fwords = rec[:, nf:].view(np.float32)
+            dense = fwords[:, :nd] if want_dense else None
+            label = fwords[:, nd]
+            yield ids, dense, np.ascontiguousarray(label)
+        epoch += 1
+        if not repeat:
+            return

@@ -91,8 +91,11 @@ def _chunked_lines(path: str, chunk: int, shard_index: int = 0, num_shards: int 
 def _rebatch(chunks, batch_size: int):
     """Re-accumulate variable-size (ids, dense, label) chunks into exact
     batch_size batches (the static-shape sharded train step requires it;
-    the native readers do the same). Leftover tail rows are dropped when
-    the source is exhausted (non-repeat mode)."""
+    the native readers do the same). When the source exhausts (non-repeat
+    mode only — repeat streams never do), the leftover tail rows flush as
+    one final partial batch, matching the single-thread native readers —
+    converters/eval passes must see every row; training uses repeat=True
+    and only ever sees exact batches."""
     pending = []
     count = 0
     for ids, dense, label in chunks:
@@ -116,6 +119,11 @@ def _rebatch(chunks, batch_size: int):
             else:
                 pending = []
             count = len(rem)
+    if pending:  # final partial batch (source exhausted: non-repeat mode)
+        yield (np.concatenate([p[0] for p in pending]),
+               (np.concatenate([p[1] for p in pending])
+                if pending[0][1] is not None else None),
+               np.concatenate([p[2] for p in pending]))
 
 
 def criteo_batches(

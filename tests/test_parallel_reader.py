@@ -60,10 +60,11 @@ def test_mt_reader_matches_python_reader(criteo_file):
     mt = list(criteo_batches_native_mt(criteo_file, cfg, 256, repeat=False,
                                        num_threads=4))
     py = list(criteo_batches(criteo_file, cfg, 256, repeat=False))
-    assert all(b[0].shape == (256, 39) for b in mt)
-    # same total coverage (tail handling aside) and same per-row content
+    assert all(b[0].shape == (256, 39) for b in mt[:-1])
+    assert len(mt[-1][0]) <= 256  # flushed tail may be partial
+    # same total coverage and same per-row content (incl. the tail)
     n = min(len(mt), len(py))
-    assert n >= 7
+    assert n >= 7 and len(mt) == len(py)
     for (mi, md, ml), (pi, pd, pl) in zip(mt[:n], py[:n]):
         np.testing.assert_array_equal(mi, pi)
         np.testing.assert_allclose(md, pd, rtol=1e-6)

@@ -82,7 +82,8 @@ def test_python_reader_exact_batches_across_chunks(criteo_file):
     # filtering must re-accumulate to exact batch_size batches.
     cfg = get_config("criteo_kaggle").model
     batches = list(criteo_batches(criteo_file, cfg, 128, repeat=False))
-    assert [len(b[2]) for b in batches] == [128, 128]  # 300 rows -> 2 full
+    # 300 valid rows -> 2 exact batches + the flushed partial tail
+    assert [len(b[2]) for b in batches] == [128, 128, 44]
     # repeat mode wraps the epoch and keeps yielding exact batches
     it = criteo_batches(criteo_file, cfg, 128, repeat=True)
     for _ in range(5):
