@@ -42,8 +42,8 @@ def _run_once(batch: int, feed: str = "staged") -> float:
     cfg = get_config("criteo_kaggle")
     cfg = dataclasses.replace(cfg, data=dataclasses.replace(cfg.data, batch_size=batch))
 
-    if feed == "reader":
-        return _run_reader_fed(cfg, batch)
+    if feed in ("reader", "prehashed"):
+        return _run_reader_fed(cfg, batch, prehashed=(feed == "prehashed"))
     if feed == "score":
         return _run_score(cfg, batch)
 
@@ -105,9 +105,11 @@ def _run_score(cfg, batch: int) -> float:
     return batch / dt
 
 
-def _run_reader_fed(cfg, batch: int) -> float:
+def _run_reader_fed(cfg, batch: int, prehashed: bool = False) -> float:
     """Reader-fed variant: real file -> native MT parse -> prefetch ->
-    H2D -> train step. Measures the full per-host pipeline."""
+    H2D -> train step. Measures the full per-host pipeline.
+    prehashed=True converts the TSV to .cfb first and feeds from that
+    (the production input path for repeated epochs — parse paid once)."""
     import os
     import tempfile
 
@@ -124,8 +126,15 @@ def _run_reader_fed(cfg, batch: int) -> float:
     with tempfile.TemporaryDirectory() as d:
         path = os.path.join(d, "criteo.tsv")
         _write_criteo(path, rows)
+        if prehashed:
+            from cffm_tpu.data.prehash import convert
+            cfb = os.path.join(d, "criteo.cfb")
+            convert(path, cfb, cfg.model, "criteo", chunk=batch)
+            path = cfb
         cfg = dataclasses.replace(
-            cfg, data=dataclasses.replace(cfg.data, path=path, dataset="criteo"))
+            cfg, data=dataclasses.replace(
+                cfg.data, path=path, dataset="criteo",
+                shuffle=prehashed))
         from cffm_tpu.data.loader import device_prefetch
 
         ds = make_dataset(cfg, prefetch=4)
@@ -196,7 +205,8 @@ def main(argv=None):
     import threading
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--feed", choices=("staged", "reader", "score"),
+    ap.add_argument("--feed", choices=("staged", "reader", "prehashed",
+                                       "score"),
                     default="staged")
     ap.add_argument("--batch", type=int, default=32768,
                     help="starting batch size (halves on device OOM)")
