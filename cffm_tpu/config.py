@@ -161,6 +161,13 @@ class TrainConfig:
     log_every: int = 50
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 0  # steps; 0 = disabled
+    # Optional TensorBoard event-file output (SURVEY.md §6 metrics row);
+    # JSONL on stdout stays the primary log either way.
+    tensorboard_dir: Optional[str] = None
+    # Debug aid for collective-order hangs (SURVEY.md §6 race row): log
+    # a host-callback heartbeat around each collective region so a
+    # cross-host deadlock shows WHERE it stuck instead of hanging mute.
+    debug_barriers: bool = False
 
 
 # ---------------------------------------------------------------------------

@@ -94,8 +94,16 @@ def _local_step(params, dense_opt_state, sparse_opt_state, ids, dense, labels,
     table_local = params["embed"]["table"]   # (Vs, W) local shard
     flat_ids = ids.reshape(-1)
 
+    from cffm_tpu.utils.debugging import collective_probe
+
+    def dbg(tag):
+        collective_probe(tag, AXIS, cfg.debug_barriers)
+
+    dbg("routing-a2a:enter")
     routing = se.build_routing(flat_ids, capacity, AXIS)
+    dbg("lookup-a2a:enter")
     rows = se.routed_lookup(table_local, routing, AXIS, out_dtype=cdt)
+    dbg("lookup-a2a:exit")
     emb_rows = rows.reshape(b_loc, f, w)
     separate_linear = mcfg.use_first_order and not mcfg.fused_linear
     if separate_linear:
@@ -122,10 +130,13 @@ def _local_step(params, dense_opt_state, sparse_opt_state, ids, dense, labels,
         (loss, logits), (dgrads, demb) = grad_fn(
             split_dense_params(params), emb_rows, None)
         dlin = None
+    dbg("loss-psum:enter")
     loss = jax.lax.psum(loss, AXIS)
 
     # dense params: psum grads (loss already divided by global batch)
+    dbg("grads-psum:enter")
     dgrads = jax.lax.psum(dgrads, AXIS)
+    dbg("grads-psum:exit")
     tx = make_dense_optimizer(cfg.optim)
     updates, new_dense_opt = tx.update(dgrads, dense_opt_state,
                                        split_dense_params(params))
@@ -133,7 +144,9 @@ def _local_step(params, dense_opt_state, sparse_opt_state, ids, dense, labels,
     new_params = merge_dense_params(params, new_dense)
 
     # sparse: reverse all-to-all, per-row update local to the shard
+    dbg("grad-return-a2a:enter")
     row_ids, row_grads = se.grad_return(demb.reshape(-1, w), routing, AXIS)
+    dbg("grad-return-a2a:exit")
     # distinct local rows are bounded by the shard's row count
     max_u = int(table_local.shape[0]) + 1
     new_sparse = dict(sparse_opt_state)

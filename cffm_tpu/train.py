@@ -274,7 +274,12 @@ def run(cfg: TrainConfig, interaction_fn=None, log_fn=print) -> Dict:
         return {k: float(v) for k, v in metrics.auc_state_finalize(auc_state).items()}
 
     from cffm_tpu.data.loader import device_prefetch
+    from cffm_tpu.utils.tb import ScalarWriter
 
+    # Event files only from host 0 (every host computes identical
+    # psum'd metrics; duplicate writers would fight over the dir).
+    tb = ScalarWriter(cfg.tensorboard_dir if jax.process_index() == 0
+                      else None)
     dev_ds = device_prefetch(ds, to_device)
     t0 = time.time()
     examples = 0
@@ -291,14 +296,22 @@ def run(cfg: TrainConfig, interaction_fn=None, log_fn=print) -> Dict:
             if "overflow" in m:
                 rec["id_overflow"] = int(m["overflow"])
             log_fn(json.dumps(rec))
+            tb.scalars(step + 1, {"train/loss": rec["loss"],
+                                  "train/examples_per_s":
+                                      rec["examples_per_s"]})
         if cfg.data.eval_every and (step + 1) % cfg.data.eval_every == 0:
-            log_fn(json.dumps({"step": step + 1, "eval": run_eval()}))
+            ev = run_eval()
+            log_fn(json.dumps({"step": step + 1, "eval": ev}))
+            tb.scalars(step + 1, {f"eval/{k}": v for k, v in ev.items()})
         if ckpt_mgr and cfg.checkpoint_every and (step + 1) % cfg.checkpoint_every == 0:
             ckpt_mgr.save(step + 1, state, cfg, num_shards=num_shards)
 
     result = run_eval()
     result["final_train_loss"] = last_loss
     log_fn(json.dumps({"eval": result}))
+    tb.scalars(cfg.data.num_train_steps,
+               {f"eval/{k}": v for k, v in result.items()})
+    tb.close()
     if ckpt_mgr:
         ckpt_mgr.save(cfg.data.num_train_steps, state, cfg,
                       num_shards=num_shards, wait=True)
