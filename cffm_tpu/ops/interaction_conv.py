@@ -367,7 +367,18 @@ def _pick_bt(b: int, dtype, cfg: ModelConfig, bwd: bool = False,
     w = cfg.row_width if w_phys is None else w_phys
     d = cfg.embed_dim
     p_pad = _round_up(cfg.num_pairs, 8)
-    per_lane = (3 * cfg.num_fields * w + 3 * p_pad * d) * itemsize
+    if bwd:
+        # bwd holds: input block + et transpose + M2T, the dM scratch,
+        # gp halo, de accumulator — ~3 copies of each major buffer.
+        per_lane = (3 * cfg.num_fields * w + 3 * p_pad * d) * itemsize
+    else:
+        # fwd holds only: input block, its et transpose, the M2T
+        # scratch (d+2 halo rows), and the (C1*d) output — the old
+        # shared formula triple-counted scratch the fwd doesn't have
+        # and demoted the full-rows path (w_phys=640) to bt=128.
+        c1 = cfg.conv_channels[0] if cfg.conv_channels else d
+        per_lane = (2 * cfg.num_fields * w + (d + 2) * p_pad
+                    + c1 * d) * itemsize
     budget = 48 * 1024 * 1024
     bt = 128 if bwd else 512
     while bt > 8 and (bt * per_lane > budget or b % bt != 0):

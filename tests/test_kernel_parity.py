@@ -192,3 +192,19 @@ def test_model_full_rows_path_matches_reference_forward():
                                       interaction_fn=None)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_pick_bt_flagship_shapes():
+    """Block-size picker: fwd must reach bt=256 on the full-rows path
+    (w_phys = table_width 640) — the shared bwd-shaped budget formula
+    used to demote it to 128 (docs/NEXT_EXPERIMENTS.md #2); bwd stays
+    at 128 (bt=256 hangs the Mosaic compile, PLATFORM_NOTES)."""
+    from cffm_tpu.config import get_config
+    from cffm_tpu.ops.interaction_conv import _pick_bt
+
+    cfg = get_config("criteo_kaggle").model
+    assert _pick_bt(32768, jnp.bfloat16, cfg, w_phys=cfg.table_width) == 256
+    assert _pick_bt(32768, jnp.bfloat16, cfg, bwd=True,
+                    w_phys=cfg.table_width) == 128
+    # small batches still divide evenly
+    assert _pick_bt(48, jnp.bfloat16, cfg) == 16
