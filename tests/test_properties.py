@@ -125,3 +125,52 @@ def test_streamed_update_untouched_rows_invariant(v, n, seed, optimizer):
     touched[ids] = True
     np.testing.assert_array_equal(np.asarray(t_new)[~touched],
                                   table[~touched])
+
+
+@given(st.integers(min_value=1, max_value=6),        # fields
+       st.integers(min_value=0, max_value=3),        # dense
+       st.integers(min_value=1, max_value=200),      # rows
+       st.integers(min_value=1, max_value=64),       # read batch
+       st.booleans())                                # shuffle
+@settings(max_examples=25, deadline=None)
+def test_prehashed_roundtrip_property(nf, nd, rows, batch, shuffle):
+    """Arbitrary (F, D, N, B): write -> read preserves every word; the
+    reader yields N // B exact batches covering rows [0, B*(N//B))
+    as a set (shuffled or not)."""
+    import dataclasses
+    import tempfile, os
+    from cffm_tpu.data.prehashed import (prehashed_batches, read_header,
+                                         write_prehashed)
+    from cffm_tpu.config import ModelConfig
+
+    rng = np.random.default_rng(nf * 1000 + nd * 100 + rows)
+    ids = rng.integers(0, 2**31 - 1, size=(rows, nf)).astype(np.int32)
+    dense = rng.normal(size=(rows, nd)).astype(np.float32)
+    lab = rng.integers(0, 2, size=rows).astype(np.float32)
+    cfg = ModelConfig(num_fields=nf, vocab_sizes=(8,) * nf, num_dense=nd)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "x.cfb")
+        # write in two uneven slices to exercise streaming
+        cut = rows // 2
+        n = write_prehashed(p, [
+            (ids[:cut], dense[:cut] if nd else None, lab[:cut]),
+            (ids[cut:], dense[cut:] if nd else None, lab[cut:]),
+        ], nf, nd)
+        assert n == rows and read_header(p) == (nf, nd, rows)
+        got = list(prehashed_batches(p, cfg, batch, repeat=False,
+                                     shuffle=shuffle, seed=1))
+        assert len(got) == rows // batch
+        if not got:
+            return
+        gi = np.concatenate([g[0] for g in got])
+        gl = np.concatenate([g[2] for g in got])
+        covered = batch * (rows // batch)
+        order = np.lexsort(gi.T) if nf > 1 else np.argsort(gi[:, 0])
+        ref_order = (np.lexsort(ids[:covered].T) if nf > 1
+                     else np.argsort(ids[:covered, 0]))
+        np.testing.assert_array_equal(gi[order], ids[:covered][ref_order])
+        np.testing.assert_array_equal(gl[order], lab[:covered][ref_order])
+        if nd:
+            gd = np.concatenate([g[1] for g in got])
+            np.testing.assert_array_equal(gd[order],
+                                          dense[:covered][ref_order])
