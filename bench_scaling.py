@@ -28,7 +28,36 @@ def _measure(step_fn, state, args, batch, rtt, n=10):
 
 
 def main():
+    import argparse
+    import os
+    import threading
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu for the 8-dev mesh)")
+    ap.add_argument("--batch", type=int, default=32768)
+    ap.add_argument("--timeout", type=int, default=900,
+                    help="whole-run watchdog seconds (the relay can hang "
+                    "device ops forever; same rationale as bench.py)")
+    args = ap.parse_args()
+
+    def _watchdog():
+        print(json.dumps({"metric": "examples_per_s", "devices": 0,
+                          "value": 0.0,
+                          "error": f"timeout after {args.timeout}s "
+                                   "(device/relay unresponsive)"}),
+              flush=True)
+        os._exit(0)
+
+    if args.timeout > 0:
+        t = threading.Timer(args.timeout, _watchdog)
+        t.daemon = True
+        t.start()
+
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
     import numpy as np
 
@@ -39,7 +68,7 @@ def main():
 
     ndev = jax.device_count()
     cfg = get_config("criteo_kaggle")
-    batch = 32768
+    batch = args.batch
     cfg = dataclasses.replace(
         cfg, data=dataclasses.replace(cfg.data, batch_size=batch))
 
