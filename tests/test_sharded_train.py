@@ -201,3 +201,72 @@ def test_sharded_step_bf16_exchange_finite_and_learns(eight_devices):
         touched[stor] = True
     t1 = np.asarray(state.params["embed"]["table"])
     np.testing.assert_array_equal(t1[~touched], t0[~touched])
+
+
+def test_sharded_step_streamed_update_matches_scatter(eight_devices):
+    """criteo_full's actual sparse path: streamed full-table apply
+    (ops/streamed_update.py) INSIDE the sharded step. Each shard
+    streams its local (Vs, W) table; results must match the proven
+    scatter path, and never-touched rows must stay bit-identical."""
+    from cffm_tpu.optim.rowwise import _should_stream
+
+    def cfg15(streamed):
+        return TrainConfig(
+            name="test",
+            model=ModelConfig(
+                num_fields=15, vocab_sizes=(64,) * 15, embed_dim=16,
+                cross="field_aware", conv_channels=(8,), conv_pool=2,
+                tower_hidden=(16,), compute_dtype="float32",
+                use_pallas=True),
+            optim=OptimizerConfig(sparse_optimizer="adagrad",
+                                  dense_optimizer="adam",
+                                  streamed_update=streamed),
+            data=DataConfig(batch_size=256),
+            sharding=ShardingConfig(table_sharded=True),
+        )
+
+    cfg_on, cfg_off = cfg15("on"), cfg15("off")
+    # guard against a vacuous pass: the forced-on gate must engage for
+    # the per-shard local table shape (120 rows padded, W=256 f32)
+    mesh = make_mesh(8)
+    state_on = create_sharded_state(cfg_on, jax.random.key(2), mesh)
+    local_rows = state_on.params["embed"]["table"].shape[0] // T
+    assert _should_stream(
+        jnp.zeros((local_rows, cfg_on.model.table_width), jnp.float32),
+        cfg_on.optim, 15 * 256, local_rows + 1)
+
+    state_off = jax.tree.map(jnp.copy, state_on)
+    step_on = make_sharded_train_step(cfg_on, mesh)
+    step_off = make_sharded_train_step(cfg_off, mesh)
+
+    table0 = np.asarray(state_on.params["embed"]["table"])
+    touched = np.zeros(table0.shape[0], bool)
+    for seed in range(3):
+        ids, labels = _batch(cfg_on, seed=seed)
+        # local row ids under mod-sharding: global id -> (id // T) on
+        # shard id % T; mark global rows for the untouched check below
+        touched[np.unique(np.asarray(ids))] = True
+        state_on, m_on = step_on(state_on, ids, None, labels)
+        state_off, m_off = step_off(state_off, ids, None, labels)
+        np.testing.assert_allclose(float(m_on["loss"]),
+                                   float(m_off["loss"]), rtol=1e-5)
+
+    v = cfg_on.model.total_vocab
+    t_on = np.asarray(se.from_mod_sharded(
+        state_on.params["embed"]["table"], T, v))
+    t_off = np.asarray(se.from_mod_sharded(
+        state_off.params["embed"]["table"], T, v))
+    # streamed one-hot-MXU apply vs scatter: same math, different f32
+    # accumulation order -> ~1e-6 noise on near-zero entries
+    np.testing.assert_allclose(t_on, t_off, rtol=1e-4, atol=1e-5)
+    a_on = np.asarray(se.from_mod_sharded(
+        state_on.sparse_opt_state["embed"]["accum"], T, v))
+    a_off = np.asarray(se.from_mod_sharded(
+        state_off.sparse_opt_state["embed"]["accum"], T, v))
+    np.testing.assert_allclose(a_on, a_off, rtol=1e-4, atol=1e-6)
+    # untouched rows: streaming rewrites the whole table; rows no batch
+    # ever referenced must come back bit-identical
+    untouched = ~touched[:v]
+    assert untouched.any()
+    t0 = np.asarray(se.from_mod_sharded(jnp.asarray(table0), T, v))
+    np.testing.assert_array_equal(t_on[untouched], t0[untouched])
