@@ -82,7 +82,7 @@ def shuffled_batches(raw, buffer_rows: int, seed: int = 0):
 
 
 def _raw_iterator(cfg: TrainConfig, process_index: int, process_count: int,
-                  split: str = "train"):
+                  split: str = "train", repeat: bool = True):
     d = cfg.data
     path_ok = d.path is not None and os.path.exists(d.path)
     per_host = d.batch_size // process_count
@@ -95,7 +95,7 @@ def _raw_iterator(cfg: TrainConfig, process_index: int, process_count: int,
             # irrelevant and determinism simplifies AUC comparisons).
             return prehashed_batches(
                 d.path, cfg.model, per_host, process_index, process_count,
-                split=split, val_every=ve,
+                split=split, val_every=ve, repeat=repeat,
                 shuffle=d.shuffle and split == "train", seed=d.seed)
     def maybe_shuffle(it):
         if d.shuffle and split == "train" and d.shuffle_buffer > 0:
@@ -107,25 +107,27 @@ def _raw_iterator(cfg: TrainConfig, process_index: int, process_count: int,
         if native.available() and d.reader_threads > 1:
             return maybe_shuffle(criteo_batches_native_mt(
                 d.path, cfg.model, per_host, process_index, process_count,
-                split=split, val_every=ve, num_threads=d.reader_threads))
+                split=split, val_every=ve, repeat=repeat,
+                num_threads=d.reader_threads))
         reader = criteo_batches_native if native.available() else criteo_batches
         return maybe_shuffle(
             reader(d.path, cfg.model, per_host, process_index, process_count,
-                   split=split, val_every=ve))
+                   split=split, val_every=ve, repeat=repeat))
     if d.dataset == "avazu" and path_ok:
         from cffm_tpu.data import native
         if native.available() and d.reader_threads > 1:
             return maybe_shuffle(avazu_batches_native_mt(
                 d.path, cfg.model, per_host, process_index, process_count,
-                split=split, val_every=ve, num_threads=d.reader_threads))
+                split=split, val_every=ve, repeat=repeat,
+                num_threads=d.reader_threads))
         reader = avazu_batches_native if native.available() else avazu_batches
         return maybe_shuffle(
             reader(d.path, cfg.model, per_host, process_index, process_count,
-                   split=split, val_every=ve))
+                   split=split, val_every=ve, repeat=repeat))
     if d.dataset == "movielens" and path_ok:
         return movielens_batches(d.path, cfg.model, per_host,
                                  seed=d.seed + process_index,
-                                 split=split, val_every=ve)
+                                 split=split, val_every=ve, repeat=repeat)
     # Synthetic: all hosts/splits share one planted WORLD (seed); each
     # host draws its own sample stream, and the val stream is disjoint
     # from every host's train stream by a large seed offset.
@@ -178,14 +180,19 @@ def make_dataset(
     prefetch: int = 2,
     split: str = "train",
     skip_batches: int = 0,
+    repeat: bool = True,
 ) -> Iterator[Batch]:
     """Device-ready batches for this host, with a background prefetch thread.
 
     split="val" yields the held-out stream (cfg.data.val_every).
+    repeat=False ends the stream after one pass (full-pass eval); the
+    final batch may be PARTIAL (< batch_size rows). The synthetic
+    generator is infinite and ignores repeat — callers must bound it.
     skip_batches fast-forwards the stream (deterministic resume: skip
     the batches consumed before the restored step; SURVEY.md §6)."""
     offsets = field_offsets(cfg.model)[None, :].astype(np.int32)
-    raw = _raw_iterator(cfg, process_index, process_count, split=split)
+    raw = _raw_iterator(cfg, process_index, process_count, split=split,
+                        repeat=repeat)
     for _ in range(skip_batches):
         next(raw)
 

@@ -49,15 +49,18 @@ def _chunk_selector(split: str, val_every: int, shard_index: int,
     "train". Within its split, each chunk is assigned to hosts
     round-robin by a population counter (NOT the global chunk index, so
     host coverage stays balanced after the split removes chunks).
-    val_every=0 disables the split (everything is "train")."""
+    val_every=0 disables the split: BOTH streams see every chunk (the
+    documented smoke-test behavior — eval reuses the train stream;
+    previously the val stream came back empty)."""
     assert split in ("train", "val")
     pop = 0
 
     def take(chunk_idx: int) -> bool:
         nonlocal pop
-        is_val = val_every > 0 and chunk_idx % val_every == val_every - 1
-        if (split == "val") != is_val:
-            return False
+        if val_every > 0:
+            is_val = chunk_idx % val_every == val_every - 1
+            if (split == "val") != is_val:
+                return False
         mine = pop % num_shards == shard_index
         pop += 1
         return mine

@@ -70,21 +70,29 @@ def auc_state_init(num_bins: int = AUC_NUM_BINS) -> Dict[str, jax.Array]:
 
 
 def auc_state_update(
-    state: Dict[str, jax.Array], logits: jax.Array, labels: jax.Array
+    state: Dict[str, jax.Array], logits: jax.Array, labels: jax.Array,
+    mask: jax.Array | None = None,
 ) -> Dict[str, jax.Array]:
-    """Bin sigmoid(logit) into [0,1) histogram buckets per class."""
+    """Bin sigmoid(logit) into [0,1) histogram buckets per class.
+
+    mask (B,): optional 0/1 example weights — padded tail examples in a
+    full-pass eval contribute exactly nothing (histogram, loss, count),
+    so padding to a static batch shape never biases the metrics."""
     num_bins = state["pos"].shape[0]
     p = jax.nn.sigmoid(logits.astype(jnp.float32))
     idx = jnp.clip((p * num_bins).astype(jnp.int32), 0, num_bins - 1)
     labels = labels.astype(jnp.float32)
-    pos = state["pos"].at[idx].add(labels)
-    neg = state["neg"].at[idx].add(1.0 - labels)
-    loss = jnp.sum(sigmoid_bce_with_logits(logits.astype(jnp.float32), labels))
+    m = (jnp.ones_like(labels) if mask is None
+         else mask.astype(jnp.float32))
+    pos = state["pos"].at[idx].add(labels * m)
+    neg = state["neg"].at[idx].add((1.0 - labels) * m)
+    loss = jnp.sum(
+        sigmoid_bce_with_logits(logits.astype(jnp.float32), labels) * m)
     return {
         "pos": pos,
         "neg": neg,
         "loss_sum": state["loss_sum"] + loss,
-        "count": state["count"] + logits.shape[0],
+        "count": state["count"] + jnp.sum(m),
     }
 
 

@@ -232,7 +232,7 @@ def make_sharded_eval_step_2d(cfg: TrainConfig, mesh: Mesh,
     mcfg = cfg.model
     both = (HOST, CHIP)
 
-    def body(params, auc_state, ids, dense, labels):
+    def body(params, auc_state, ids, dense, labels, mask):
         b_loc, f = ids.shape
         cdt = jnp.dtype(mcfg.compute_dtype)
         routing = se.build_routing(ids.reshape(-1), capacity, CHIP)
@@ -248,7 +248,8 @@ def make_sharded_eval_step_2d(cfg: TrainConfig, mesh: Mesh,
             params, emb_rows, lin_rows, dense, mcfg,
             interaction_fn=interaction_fn)
         upd = metrics.auc_state_update(
-            jax.tree.map(jnp.zeros_like, auc_state), logits, labels)
+            jax.tree.map(jnp.zeros_like, auc_state), logits, labels,
+            mask=mask)
         return jax.tree.map(lambda a, u: a + jax.lax.psum(u, both),
                             auc_state, upd)
 
@@ -261,14 +262,16 @@ def make_sharded_eval_step_2d(cfg: TrainConfig, mesh: Mesh,
             {"bias": repl} if mcfg.fused_linear
             else {"table": sh_table, "bias": repl})
 
-    def step(state: TrainState, auc_state, ids, dense, labels):
+    def step(state: TrainState, auc_state, ids, dense, labels, mask=None):
+        if mask is None:
+            mask = jnp.ones_like(labels)
         fn = shard_map(
             body, mesh=mesh,
             in_specs=(params_spec, repl, batch,
-                      repl if dense is None else batch, batch),
+                      repl if dense is None else batch, batch, batch),
             out_specs=repl,
             check_vma=False,
         )
-        return fn(state.params, auc_state, ids, dense, labels)
+        return fn(state.params, auc_state, ids, dense, labels, mask)
 
     return jax.jit(step)

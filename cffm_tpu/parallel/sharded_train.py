@@ -217,7 +217,7 @@ def make_sharded_eval_step(cfg: TrainConfig, mesh: Mesh, interaction_fn=None):
     capacity = se.pick_capacity(n_local, t, cfg.sharding.id_capacity_factor)
     mcfg = cfg.model
 
-    def body(params, auc_state, ids, dense, labels):
+    def body(params, auc_state, ids, dense, labels, mask):
         b_loc, f = ids.shape
         cdt = jnp.dtype(mcfg.compute_dtype)
         routing = se.build_routing(ids.reshape(-1), capacity, AXIS)
@@ -231,7 +231,8 @@ def make_sharded_eval_step(cfg: TrainConfig, mesh: Mesh, interaction_fn=None):
             params, emb_rows, lin_rows, dense, mcfg, interaction_fn=interaction_fn)
         # each shard updates its local accumulator; merged via psum
         upd = metrics.auc_state_update(
-            jax.tree.map(jnp.zeros_like, auc_state), logits, labels)
+            jax.tree.map(jnp.zeros_like, auc_state), logits, labels,
+            mask=mask)
         return jax.tree.map(lambda a, u: a + jax.lax.psum(u, AXIS), auc_state, upd)
 
     sh_table = P(AXIS, None)
@@ -242,14 +243,17 @@ def make_sharded_eval_step(cfg: TrainConfig, mesh: Mesh, interaction_fn=None):
             {"bias": repl} if mcfg.fused_linear
             else {"table": sh_table, "bias": repl})
 
-    def step(state: TrainState, auc_state, ids, dense, labels):
+    def step(state: TrainState, auc_state, ids, dense, labels, mask=None):
+        # mask: 0/1 weights for full-pass eval tail padding (train.py)
+        if mask is None:
+            mask = jnp.ones_like(labels)
         fn = shard_map(
             body, mesh=mesh,
             in_specs=(params_spec, repl, P(AXIS),
-                      repl if dense is None else P(AXIS), P(AXIS)),
+                      repl if dense is None else P(AXIS), P(AXIS), P(AXIS)),
             out_specs=repl,
             check_vma=False,
         )
-        return fn(state.params, auc_state, ids, dense, labels)
+        return fn(state.params, auc_state, ids, dense, labels, mask)
 
     return jax.jit(step)

@@ -145,10 +145,10 @@ def train_step(
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interaction_fn"))
 def eval_step(state: TrainState, auc_state, ids, dense, labels, cfg: TrainConfig,
-              interaction_fn=None):
+              interaction_fn=None, mask=None):
     logits = model_lib.forward(state.params, ids, dense, cfg.model,
                                interaction_fn=interaction_fn)
-    return metrics.auc_state_update(auc_state, logits, labels)
+    return metrics.auc_state_update(auc_state, logits, labels, mask=mask)
 
 
 def evaluate(state: TrainState, batches, cfg: TrainConfig, interaction_fn=None) -> Dict:
@@ -230,9 +230,9 @@ def run(cfg: TrainConfig, interaction_fn=None, log_fn=print) -> Dict:
         def step_fn(state, ids, dense, labels):
             return train_step(state, ids, dense, labels, cfg, interaction_fn)
 
-        def eval_fn(state, auc_state, ids, dense, labels):
+        def eval_fn(state, auc_state, ids, dense, labels, mask=None):
             return eval_step(state, auc_state, ids, dense, labels, cfg,
-                             interaction_fn)
+                             interaction_fn, mask=mask)
 
         def to_device(x):
             return None if x is None else jnp.asarray(x)
@@ -260,18 +260,76 @@ def run(cfg: TrainConfig, interaction_fn=None, log_fn=print) -> Dict:
 
     ds = make_dataset(cfg, jax.process_index(), jax.process_count(),
                       skip_batches=start_step)
-    val_ds = make_dataset(cfg, jax.process_index(), jax.process_count(),
-                          split="val")
+    # persistent repeat-mode val stream for windowed eval; full-pass
+    # eval (eval_batches=0 on a real dataset) builds a fresh
+    # non-repeat stream per eval instead
+    val_ds = (make_dataset(cfg, jax.process_index(), jax.process_count(),
+                           split="val")
+              if cfg.data.eval_batches > 0 or cfg.data.path is None
+              else None)
 
     def run_eval():
         auc_state = metrics.auc_state_init()
-        for _ in range(cfg.data.eval_batches):
-            b = next(val_ds)
+        if cfg.data.eval_batches > 0 or cfg.data.path is None:
+            # fixed-size eval window (the synthetic stream is infinite,
+            # so a "full pass" is undefined there — bound it)
+            for _ in range(cfg.data.eval_batches or 32):
+                b = next(val_ds)
+                auc_state = eval_fn(
+                    state, auc_state, to_device(b["ids"]),
+                    to_device(b["dense"]), to_device(b["labels"]),
+                )
+            return {k: float(v)
+                    for k, v in metrics.auc_state_finalize(auc_state).items()}
+
+        # eval_batches == 0: ONE FULL PASS over the held-out split
+        # (reference repos report AUC over the entire test set). The
+        # final partial batch pads to the static shape with mask=0 rows
+        # (exactly zero metric contribution); under multi-host, hosts
+        # stay in SPMD lockstep by feeding all-masked batches until
+        # every host's stream is exhausted.
+        per_host = cfg.data.batch_size // jax.process_count()
+        f = cfg.model.num_fields
+        it = make_dataset(cfg, jax.process_index(), jax.process_count(),
+                          split="val", repeat=False)
+        multi = jax.process_count() > 1
+        if multi:
+            from jax.experimental import multihost_utils
+        while True:
+            b = next(it, None)
+            alive = b is not None
+            if multi:
+                alive_any = bool(
+                    multihost_utils.process_allgather(
+                        np.asarray(alive)).any())
+            else:
+                alive_any = alive
+            if not alive_any:
+                break
+            if b is None:
+                ids = np.zeros((per_host, f), np.int32)
+                dense = (np.zeros((per_host, cfg.model.num_dense), np.float32)
+                         if cfg.model.num_dense else None)
+                labels = np.zeros((per_host,), np.float32)
+                mask = np.zeros((per_host,), np.float32)
+            else:
+                n = len(b["labels"])
+                pad = per_host - n
+                ids, dense, labels = b["ids"], b["dense"], b["labels"]
+                mask = np.ones((per_host,), np.float32)
+                if pad > 0:
+                    # pad rows use id 0 (always a valid table row) —
+                    # their logits are computed then zeroed by the mask
+                    ids = np.pad(ids, ((0, pad), (0, 0)))
+                    labels = np.pad(labels, (0, pad))
+                    if dense is not None:
+                        dense = np.pad(dense, ((0, pad), (0, 0)))
+                    mask[n:] = 0.0
             auc_state = eval_fn(
-                state, auc_state, to_device(b["ids"]), to_device(b["dense"]),
-                to_device(b["labels"]),
-            )
-        return {k: float(v) for k, v in metrics.auc_state_finalize(auc_state).items()}
+                state, auc_state, to_device(ids), to_device(dense),
+                to_device(labels), to_device(mask))
+        return {k: float(v)
+                for k, v in metrics.auc_state_finalize(auc_state).items()}
 
     from cffm_tpu.data.loader import device_prefetch
     from cffm_tpu.utils.tb import ScalarWriter

@@ -131,3 +131,94 @@ def test_make_dataset_val_split_differs_and_skip_batches():
     third = next(a)
     b = make_dataset(cfg, prefetch=0, skip_batches=2)
     np.testing.assert_array_equal(third["ids"], next(b)["ids"])
+
+
+def test_full_pass_eval_covers_entire_val_split(tmp_path):
+    """eval_batches=0 on a real dataset: run() evaluates EVERY held-out
+    example exactly once (partial tail included via masked padding) —
+    the reference-style full-test-set AUC."""
+    import dataclasses
+    import json
+
+    from bench_input import _write_criteo
+    from cffm_tpu import train as train_lib
+    from cffm_tpu.config import get_config
+    from cffm_tpu.data.prehash import convert
+
+    rows = 3000
+    tsv = str(tmp_path / "c.tsv")
+    cfb = str(tmp_path / "c.cfb")
+    _write_criteo(tsv, rows)
+    cfg = get_config("criteo_kaggle")
+    n = convert(tsv, cfb, cfg.model, "criteo", chunk=500, reader_threads=1)
+    assert n == rows
+    bs, ve = 256, 4
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, use_pallas=False,
+                                  compute_dtype="float32"),
+        data=dataclasses.replace(cfg.data, path=cfb, dataset="criteo",
+                                 batch_size=bs, num_train_steps=2,
+                                 val_every=ve, eval_batches=0),
+    )
+    logs = []
+    res = train_lib.run(cfg, log_fn=lambda s: logs.append(json.loads(s)))
+    # val split = every ve-th block of bs rows; blocks of the (n//bs)
+    # full blocks only (the .cfb reader is block-aligned); the final
+    # eval must count exactly those rows — no more, no fewer
+    nblocks = rows // bs
+    want = (nblocks // ve) * bs
+    assert res["count"] == want, (res, want)
+    assert np.isfinite(res["logloss"])
+
+
+def test_full_pass_eval_pads_partial_tail(tmp_path, monkeypatch):
+    """Full-pass eval through the python TSV reader: the flushed
+    partial tail batch pads to the static shape with mask=0 rows, so
+    the count equals the exact held-out row total (incl. the tail)."""
+    import dataclasses
+    import json
+
+    from bench_input import _write_criteo
+    from cffm_tpu import train as train_lib
+    from cffm_tpu.config import get_config
+    from cffm_tpu.data import native
+
+    monkeypatch.setattr(native, "available", lambda: False)
+    rows, bs, ve = 3000, 256, 4
+    tsv = str(tmp_path / "c.tsv")
+    _write_criteo(tsv, rows)
+    cfg = get_config("criteo_kaggle")
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, use_pallas=False,
+                                  compute_dtype="float32"),
+        data=dataclasses.replace(cfg.data, path=tsv, dataset="criteo",
+                                 batch_size=bs, num_train_steps=2,
+                                 val_every=ve, eval_batches=0),
+    )
+    res = train_lib.run(cfg, log_fn=lambda s: None)
+    # python reader chunks = bs lines: chunks 0..11 (last = 184 rows);
+    # val chunks are idx 3, 7, 11 -> 256 + 256 + 184 = 696 rows, the
+    # 184-row tail flushing as a partial batch padded by mask
+    assert res["count"] == 696, res
+    assert np.isfinite(res["logloss"])
+
+
+def test_val_every_zero_reuses_train_stream(tmp_path, monkeypatch):
+    """val_every=0: the val stream equals the train stream (documented
+    smoke behavior) instead of coming back empty."""
+    from cffm_tpu.config import get_config
+    from cffm_tpu.data.readers import criteo_batches
+
+    from bench_input import _write_criteo
+
+    tsv = str(tmp_path / "c0.tsv")
+    _write_criteo(tsv, 512)
+    cfg = get_config("criteo_kaggle").model
+    tr = list(criteo_batches(tsv, cfg, 128, repeat=False, split="train",
+                             val_every=0))
+    va = list(criteo_batches(tsv, cfg, 128, repeat=False, split="val",
+                             val_every=0))
+    assert len(va) == len(tr) == 4
+    np.testing.assert_array_equal(tr[0][0], va[0][0])
