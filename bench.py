@@ -160,20 +160,34 @@ def _run_reader_fed(cfg, batch: int, prehashed: bool = False) -> float:
 _LAST_GOOD = "BENCH_LAST_GOOD.json"
 
 
-def _record_last_good(out: dict) -> None:
-    """Persist a successful live measurement next to the repo root."""
+def _lg_key(metric: str, feed: str) -> str:
+    # Records are keyed by metric AND feed: every --feed variant prints
+    # the same metric name, and a slow feed (or a CPU test run) once
+    # silently overwrote the flagship staged number under the shared key.
+    return metric if feed == "staged" else f"{metric}:{feed}"
+
+
+def _record_last_good(out: dict, feed: str) -> None:
+    """Persist a successful live TPU measurement next to the repo root.
+
+    CPU-backend runs (e.g. JAX_PLATFORMS=cpu while testing a feed path)
+    are never recorded — a last-good entry is a chip number."""
     import os
     import time as _t
 
     try:
+        import jax
+        if jax.default_backend() == "cpu":
+            return
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             _LAST_GOOD)
         hist = {}
         if os.path.exists(path):
             with open(path) as f:
                 hist = json.load(f)
-        hist[out["metric"]] = dict(out, measured_at=_t.strftime(
-            "%Y-%m-%d %H:%M:%S"))
+        hist[_lg_key(out["metric"], feed)] = dict(
+            out, backend=jax.default_backend(),
+            measured_at=_t.strftime("%Y-%m-%d %H:%M:%S"))
         with open(path, "w") as f:
             json.dump(hist, f, indent=1)
     except Exception:  # noqa: BLE001 — recording must never break a bench
@@ -192,7 +206,7 @@ def _attach_last_good(out: dict, feed: str) -> None:
         if os.path.exists(path):
             with open(path) as f:
                 hist = json.load(f)
-            prev = hist.get(out["metric"])
+            prev = hist.get(_lg_key(out["metric"], feed))
             if prev:
                 out["last_good"] = prev
     except Exception:  # noqa: BLE001
@@ -273,7 +287,7 @@ def main(argv=None):
         out["error"] = error
         _attach_last_good(out, args.feed)
     else:
-        _record_last_good(out)
+        _record_last_good(out, args.feed)
     print(json.dumps(out))
     return 0
 
