@@ -222,8 +222,9 @@ def main(argv=None):
     ap.add_argument("--feed", choices=("staged", "reader", "prehashed",
                                        "score"),
                     default="staged")
-    ap.add_argument("--batch", type=int, default=32768,
-                    help="starting batch size (halves on device OOM)")
+    ap.add_argument("--batch", type=int, default=49152,
+                    help="starting batch size (falls back down a ladder "
+                    "through the known-good 32768 on device OOM)")
     ap.add_argument("--timeout", type=int, default=900,
                     help="whole-run watchdog seconds. The TPU relay can die "
                     "mid-session, turning device ops into infinite hangs "
@@ -254,10 +255,18 @@ def main(argv=None):
         timer.daemon = True
         timer.start()
 
-    batch = args.batch
+    # Fallback ladder, not naive halving: after the first (largest)
+    # candidate the next rung is the known-good 32768 — halving 49152
+    # would land on 24576 and under-measure relative to the proven
+    # batch. The streamed sparse apply is batch-independent, so larger
+    # batches amortize it (docs/NEXT_EXPERIMENTS.md #1); 49152 is the
+    # projected +12-15% point that still fits HBM.
+    ladder = sorted({args.batch, 32768, 16384, 8192, 4096}, reverse=True)
+    ladder = [b for b in ladder if b <= args.batch] or [args.batch]
     value = 0.0
     error = None
-    while batch >= 4096:
+    batch = ladder[0]
+    for batch in ladder:
         try:
             value = _run_once(batch, feed=args.feed)
             error = None
@@ -265,7 +274,6 @@ def main(argv=None):
         except Exception as e:  # noqa: BLE001 — resilience is the point
             error = f"{type(e).__name__} at batch={batch}"
             sys.stderr.write(f"bench: {error}: {e}\n")
-            batch //= 2
             try:
                 import jax
                 jax.clear_caches()

@@ -84,12 +84,16 @@ def shuffled_batches(raw, buffer_rows: int, seed: int = 0):
 def _raw_iterator(cfg: TrainConfig, process_index: int, process_count: int,
                   split: str = "train", repeat: bool = True):
     d = cfg.data
-    path_ok = d.path is not None and os.path.exists(d.path)
+    # path may be a file, a directory of files (full Criteo's
+    # day_0..day_23), or a glob — readers.resolve_paths expands it
+    from cffm_tpu.data.readers import resolve_paths
+    path_ok = d.path is not None and bool(resolve_paths(d.path))
     per_host = d.batch_size // process_count
     ve = d.val_every
-    if path_ok and not os.path.isdir(d.path):
+    if path_ok:
         from cffm_tpu.data.prehashed import is_prehashed, prehashed_batches
-        if d.dataset == "prehashed" or is_prehashed(d.path):
+        if d.dataset == "prehashed" or (
+                d.dataset != "movielens" and is_prehashed(d.path)):
             # Pre-hashed .cfb fast path: parse/hash already paid at
             # conversion; shuffle only the train stream (eval order is
             # irrelevant and determinism simplifies AUC comparisons).

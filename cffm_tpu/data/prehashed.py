@@ -64,9 +64,15 @@ def read_header(path: str) -> Tuple[int, int, int]:
 
 
 def is_prehashed(path: str) -> bool:
-    """True iff path exists and starts with the CFB magic."""
+    """True iff path resolves to data file(s) starting with the CFB
+    magic (multi-file datasets: the first resolved file decides)."""
+    from cffm_tpu.data.readers import resolve_paths
+
+    files = resolve_paths(path)
+    if not files:
+        return False
     try:
-        with open(path, "rb") as f:
+        with open(files[0], "rb") as f:
             return f.read(4) == MAGIC
     except OSError:
         return False
@@ -112,39 +118,70 @@ def prehashed_batches(
     split: str = "train", val_every: int = 0,
     shuffle: bool = False, seed: int = 0,
 ) -> Iterator[Tuple[np.ndarray, Optional[np.ndarray], np.ndarray]]:
-    """Yield exact (ids, dense|None, label) batches from a .cfb file.
+    """Yield (ids, dense|None, label) batches from .cfb file(s).
 
     Same contract as readers.criteo_batches: local per-field ids, dense
-    may be None (when the file has 0 dense words or cfg.num_dense == 0),
-    every batch exactly batch_size rows (the final partial block is
-    dropped, matching _rebatch's tail behavior).
+    may be None (when the file has 0 dense words or cfg.num_dense == 0).
+    path may be a file, directory, or glob (readers.resolve_paths) —
+    block indices run continuously across files so the host sharding
+    and val split spread over the whole dataset. In repeat mode every
+    batch is exactly batch_size rows (each file's partial tail block is
+    dropped — training needs static shapes); with repeat=False each
+    file's tail yields as one final PARTIAL batch so a full-pass eval
+    covers every held-out row.
     """
-    nf, nd, n, mm = _open_memmap(path)
-    if nf != cfg.num_fields:
-        raise ValueError(
-            f"{path}: file has {nf} fields, config wants {cfg.num_fields}")
-    want_dense = cfg.num_dense > 0 and nd > 0
-    num_blocks = n // batch_size
+    from cffm_tpu.data.readers import resolve_paths
+
+    files = resolve_paths(path)
+    if not files:
+        raise FileNotFoundError(f"no data files match {path!r}")
+    maps = []  # (nf, nd, n, mm) per file
+    for fp in files:
+        nf, nd, n, mm = _open_memmap(fp)
+        if nf != cfg.num_fields:
+            raise ValueError(
+                f"{fp}: file has {nf} fields, config wants {cfg.num_fields}")
+        maps.append((nf, nd, n, mm))
+    want_dense = cfg.num_dense > 0 and maps[0][1] > 0
+
+    def decode(rec, nf, nd):
+        ids = rec[:, :nf]
+        fwords = rec[:, nf:].view(np.float32)
+        dense = fwords[:, :nd] if want_dense else None
+        label = fwords[:, nd]
+        return ids, dense, np.ascontiguousarray(label)
 
     epoch = 0
     while True:
         take = _chunk_selector(split, val_every, shard_index, num_shards)
-        mine = [i for i in range(num_blocks) if take(i)]
+        # global block ids: (file_idx, local block, row count)
+        mine = []
+        gblk = 0
+        for fi, (nf, nd, n, mm) in enumerate(maps):
+            full = n // batch_size
+            for b in range(full):
+                if take(gblk):
+                    mine.append((fi, b, batch_size))
+                gblk += 1
+            tail = n - full * batch_size
+            if tail and not repeat:
+                if take(gblk):
+                    mine.append((fi, full, tail))
+                gblk += 1
+            elif tail:
+                gblk += 1  # tail keeps its block id even when dropped
         if shuffle:
             # (seed, epoch)-keyed so resume-by-skip replays the same order
             order = np.random.default_rng((seed, epoch)).permutation(len(mine))
             mine = [mine[int(i)] for i in order]
-        for blk in mine:
-            rec = np.array(mm[blk * batch_size:(blk + 1) * batch_size])
+        for fi, blk, rows in mine:
+            nf, nd, n, mm = maps[fi]
+            rec = np.array(mm[blk * batch_size:blk * batch_size + rows])
             if shuffle:
-                perm = np.random.default_rng((seed, epoch, blk)).permutation(
-                    batch_size)
+                perm = np.random.default_rng(
+                    (seed, epoch, fi, blk)).permutation(rows)
                 rec = rec[perm]
-            ids = rec[:, :nf]
-            fwords = rec[:, nf:].view(np.float32)
-            dense = fwords[:, :nd] if want_dense else None
-            label = fwords[:, nd]
-            yield ids, dense, np.ascontiguousarray(label)
+            yield decode(rec, nf, nd)
         epoch += 1
         if not repeat:
             return

@@ -40,6 +40,35 @@ def day_of_week_yymmdd(yymmdd: np.ndarray) -> np.ndarray:
         np.int32)
 
 
+def resolve_paths(path: str) -> list[str]:
+    """Expand a dataset path into an ordered list of data files.
+
+    Accepts a single file, a directory (all non-hidden files inside,
+    sorted — full Criteo ships as day_0..day_23), or a glob pattern
+    ("day_*.gz"). Returns [] when nothing matches."""
+    import glob as _glob
+
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if not f.startswith(".")
+            and os.path.isfile(os.path.join(path, f)))
+    if any(c in path for c in "*?["):
+        return sorted(p for p in _glob.glob(path) if os.path.isfile(p))
+    return [path] if os.path.isfile(path) else []
+
+
+def _open_data(path: str):
+    """Binary handle; .gz transparently decompressed (Criteo/Avazu are
+    distributed gzipped; zcat-ing terabytes to disk first shouldn't be
+    a prerequisite for training)."""
+    if path.endswith(".gz"):
+        import gzip
+
+        return gzip.open(path, "rb")
+    return open(path, "rb")
+
+
 def _chunk_selector(split: str, val_every: int, shard_index: int,
                     num_shards: int):
     """Chunk-level held-out split + host round-robin (SURVEY.md §5.4:
@@ -72,21 +101,28 @@ def _chunked_lines(path: str, chunk: int, shard_index: int = 0, num_shards: int 
                    skip_header: bool = False, repeat: bool = True,
                    split: str = "train", val_every: int = 0):
     """Yield lists of `chunk` lines; shard by chunk round-robin across hosts,
-    with an optional chunk-level train/val split (see _chunk_selector)."""
+    with an optional chunk-level train/val split (see _chunk_selector).
+    path may be a file, directory, or glob (resolve_paths); chunk
+    indices run continuously across files so the host sharding and the
+    val split both spread over the whole multi-file dataset."""
+    files = resolve_paths(path)
+    if not files:
+        raise FileNotFoundError(f"no data files match {path!r}")
     while True:
         take = _chunk_selector(split, val_every, shard_index, num_shards)
-        with open(path, "rb") as f:
-            it = iter(f)
-            if skip_header:
-                next(it, None)
-            chunk_idx = 0
-            while True:
-                lines = list(itertools.islice(it, chunk))
-                if not lines:
-                    break
-                if take(chunk_idx):
-                    yield lines
-                chunk_idx += 1
+        chunk_idx = 0
+        for fp in files:
+            with _open_data(fp) as f:
+                it = iter(f)
+                if skip_header:
+                    next(it, None)
+                while True:
+                    lines = list(itertools.islice(it, chunk))
+                    if not lines:
+                        break
+                    if take(chunk_idx):
+                        yield lines
+                    chunk_idx += 1
         if not repeat:
             return
 
@@ -270,24 +306,38 @@ def _chunked_bytes(path: str, chunk_bytes: int, shard_index: int = 0,
                    repeat: bool = True, split: str = "train",
                    val_every: int = 0):
     """Yield raw byte chunks ending on row boundaries, sharded by chunk,
-    with the same chunk-level train/val split as _chunked_lines."""
+    with the same chunk-level train/val split as _chunked_lines.
+    Multi-file paths (dir/glob) chunk continuously across files; row
+    boundaries never span files (each file's tail flushes before the
+    next file opens)."""
+    files = resolve_paths(path)
+    if not files:
+        raise FileNotFoundError(f"no data files match {path!r}")
     while True:
         take = _chunk_selector(split, val_every, shard_index, num_shards)
-        with open(path, "rb") as f:
-            if skip_header:
-                f.readline()
-            tail = b""
-            chunk_idx = 0
-            while True:
-                data = f.read(chunk_bytes)
-                if not data:
-                    break
-                buf = tail + data
-                cut = buf.rfind(b"\n") + 1
-                tail = buf[cut:]
-                if take(chunk_idx):
-                    yield buf[:cut]
-                chunk_idx += 1
+        chunk_idx = 0
+        for fp in files:
+            with _open_data(fp) as f:
+                if skip_header:
+                    f.readline()
+                tail = b""
+                while True:
+                    data = f.read(chunk_bytes)
+                    if not data:
+                        break
+                    buf = tail + data
+                    cut = buf.rfind(b"\n") + 1
+                    tail = buf[cut:]
+                    if take(chunk_idx):
+                        yield buf[:cut]
+                    chunk_idx += 1
+                if tail.strip():
+                    # file ends without a trailing newline: flush the
+                    # last row as its own chunk (normalized so parsers
+                    # always see newline-terminated rows)
+                    if take(chunk_idx):
+                        yield tail + b"\n"
+                    chunk_idx += 1
         if not repeat:
             return
 

@@ -163,12 +163,15 @@ def test_full_pass_eval_covers_entire_val_split(tmp_path):
     )
     logs = []
     res = train_lib.run(cfg, log_fn=lambda s: logs.append(json.loads(s)))
-    # val split = every ve-th block of bs rows; blocks of the (n//bs)
-    # full blocks only (the .cfb reader is block-aligned); the final
-    # eval must count exactly those rows — no more, no fewer
-    nblocks = rows // bs
-    want = (nblocks // ve) * bs
-    assert res["count"] == want, (res, want)
+    # val split = every ve-th block of bs rows; in non-repeat mode the
+    # .cfb reader yields the file's 184-row tail as partial block 11,
+    # which lands in the val split (11 % 4 == 3): 256 + 256 + 184
+    want = 0
+    nfull, tail = rows // bs, rows % bs
+    for blk in range(nfull + (1 if tail else 0)):
+        if blk % ve == ve - 1:
+            want += bs if blk < nfull else tail
+    assert res["count"] == want == 696, (res, want)
     assert np.isfinite(res["logloss"])
 
 

@@ -167,3 +167,67 @@ def test_shuffled_batches_uniform_buffer():
     # tiny buffer (< batch) still works via the >= batch clamp
     out3 = list(shuffled_batches(iter(raw), buffer_rows=1, seed=0))
     assert sum(len(o[0]) for o in out3) == B * nb
+
+
+def test_multifile_cfb_directory(tmp_path):
+    """A directory of .cfb shards covers every row across files: repeat
+    mode yields only exact batches; non-repeat (full-pass eval) mode
+    also flushes each file's partial tail as a partial batch."""
+    cfg = get_config("criteo_kaggle").model
+    d = tmp_path / "shards"
+    d.mkdir()
+    sizes = [300, 257, 128]  # tails of 44, 1, 0 at bs=128
+    all_rows = []
+    for i, n in enumerate(sizes):
+        tsv = str(tmp_path / f"s{i}.tsv")
+        _write_criteo(tsv, n)
+        convert(tsv, str(d / f"day_{i}.cfb"), cfg, "criteo", chunk=64,
+                reader_threads=1)
+        all_rows.extend(
+            ids for ids, _, _ in criteo_batches(tsv, cfg, 64, repeat=False))
+    want = np.concatenate(all_rows)
+    assert is_prehashed(str(d))
+
+    bs = 128
+    full = list(prehashed_batches(str(d), cfg, bs, repeat=False))
+    got = np.concatenate([ids for ids, _, _ in full])
+    # full pass covers EVERY row, in file order
+    np.testing.assert_array_equal(got, want)
+    # partial tails appear exactly where files have remainders
+    assert sorted(len(ids) for ids, _, _ in full) == sorted(
+        [bs] * (sum(n // bs for n in sizes)) + [44, 1])
+
+    # repeat mode: one epoch = only the full blocks of each file
+    one_epoch = sum(n // bs for n in sizes)
+    rep = list(itertools.islice(prehashed_batches(str(d), cfg, bs), one_epoch))
+    assert all(len(ids) == bs for ids, _, _ in rep)
+
+
+def test_multifile_cfb_split_and_shuffle(tmp_path):
+    """Across files, the val split + per-host sharding act on the global
+    block sequence, and shuffle stays deterministic per (seed, epoch)."""
+    cfg = get_config("criteo_kaggle").model
+    d = tmp_path / "shards"
+    d.mkdir()
+    for i, n in enumerate([512, 384]):
+        tsv = str(tmp_path / f"s{i}.tsv")
+        _write_criteo(tsv, n)
+        convert(tsv, str(d / f"day_{i}.cfb"), cfg, "criteo", chunk=64,
+                reader_threads=1)
+    bs = 128
+    tr = list(prehashed_batches(str(d), cfg, bs, repeat=False,
+                                split="train", val_every=3))
+    va = list(prehashed_batches(str(d), cfg, bs, repeat=False,
+                                split="val", val_every=3))
+    # 7 full blocks total (4 + 3): val = blocks 2, 5 -> 2 batches
+    assert len(va) == 2 and len(tr) == 5
+    tr_keys = {ids.tobytes() for ids, _, _ in tr}
+    va_keys = {ids.tobytes() for ids, _, _ in va}
+    assert not (tr_keys & va_keys)
+
+    a = list(itertools.islice(
+        prehashed_batches(str(d), cfg, bs, shuffle=True, seed=7), 7))
+    b = list(itertools.islice(
+        prehashed_batches(str(d), cfg, bs, shuffle=True, seed=7), 7))
+    for (ai, _, _), (bi, _, _) in zip(a, b):
+        np.testing.assert_array_equal(ai, bi)

@@ -135,7 +135,8 @@ def test_streamed_update_untouched_rows_invariant(v, n, seed, optimizer):
 @settings(max_examples=25, deadline=None)
 def test_prehashed_roundtrip_property(nf, nd, rows, batch, shuffle):
     """Arbitrary (F, D, N, B): write -> read preserves every word; the
-    reader yields N // B exact batches covering rows [0, B*(N//B))
+    reader yields N // B exact batches plus the partial tail, covering
+    ALL N rows
     as a set (shuffled or not)."""
     import dataclasses
     import tempfile, os
@@ -159,18 +160,22 @@ def test_prehashed_roundtrip_property(nf, nd, rows, batch, shuffle):
         assert n == rows and read_header(p) == (nf, nd, rows)
         got = list(prehashed_batches(p, cfg, batch, repeat=False,
                                      shuffle=shuffle, seed=1))
-        assert len(got) == rows // batch
+        # non-repeat mode flushes the partial tail as one extra batch
+        # (full-pass eval must see every row)
+        assert len(got) == rows // batch + (1 if rows % batch else 0)
         if not got:
             return
+        sizes = sorted(len(g[0]) for g in got)
+        want_sizes = sorted([batch] * (rows // batch)
+                            + ([rows % batch] if rows % batch else []))
+        assert sizes == want_sizes  # tail may shuffle anywhere in order
         gi = np.concatenate([g[0] for g in got])
         gl = np.concatenate([g[2] for g in got])
-        covered = batch * (rows // batch)
         order = np.lexsort(gi.T) if nf > 1 else np.argsort(gi[:, 0])
-        ref_order = (np.lexsort(ids[:covered].T) if nf > 1
-                     else np.argsort(ids[:covered, 0]))
-        np.testing.assert_array_equal(gi[order], ids[:covered][ref_order])
-        np.testing.assert_array_equal(gl[order], lab[:covered][ref_order])
+        ref_order = (np.lexsort(ids.T) if nf > 1
+                     else np.argsort(ids[:, 0]))
+        np.testing.assert_array_equal(gi[order], ids[ref_order])
+        np.testing.assert_array_equal(gl[order], lab[ref_order])
         if nd:
             gd = np.concatenate([g[1] for g in got])
-            np.testing.assert_array_equal(gd[order],
-                                          dense[:covered][ref_order])
+            np.testing.assert_array_equal(gd[order], dense[ref_order])

@@ -89,3 +89,70 @@ def test_python_reader_exact_batches_across_chunks(criteo_file):
     for _ in range(5):
         ids, dense, labels = next(it)
         assert ids.shape == (128, 39)
+
+
+def test_multifile_dir_equals_concatenated_file(tmp_path):
+    """A directory of day-files reads identically to their concatenation
+    (full Criteo ships as day_0..day_23)."""
+    from bench_input import _write_criteo
+
+    cfg = get_config("criteo_kaggle").model
+    whole = tmp_path / "all.tsv"
+    _write_criteo(str(whole), 600)
+    text = whole.read_text().splitlines(keepends=True)
+    d = tmp_path / "days"
+    d.mkdir()
+    (d / "day_0").write_text("".join(text[:250]))
+    (d / "day_1").write_text("".join(text[250:400]))
+    (d / "day_2").write_text("".join(text[400:]))
+    one = list(criteo_batches(str(whole), cfg, 128, repeat=False))
+    many = list(criteo_batches(str(d), cfg, 128, repeat=False))
+    assert len(many) == len(one)
+    for (ai, ad, al), (bi, bd, bl) in zip(one, many):
+        np.testing.assert_array_equal(ai, bi)
+        np.testing.assert_allclose(ad, bd, rtol=1e-6)
+        np.testing.assert_array_equal(al, bl)
+
+
+def test_glob_and_gzip_paths(tmp_path):
+    """Glob patterns resolve in sorted order, and .gz files decompress
+    transparently, through both the python and native byte readers."""
+    import gzip
+
+    from bench_input import _write_criteo
+    from cffm_tpu.data.readers import resolve_paths
+
+    cfg = get_config("criteo_kaggle").model
+    plain = tmp_path / "p.tsv"
+    _write_criteo(str(plain), 300)
+    gz = tmp_path / "day_0.tsv.gz"
+    with gzip.open(gz, "wb") as f:
+        f.write(plain.read_bytes())
+    assert resolve_paths(str(tmp_path / "day_*.gz")) == [str(gz)]
+
+    ref = list(criteo_batches(str(plain), cfg, 100, repeat=False))
+    via_gz = list(criteo_batches(str(gz), cfg, 100, repeat=False))
+    assert len(via_gz) == len(ref)
+    for (ai, ad, al), (bi, bd, bl) in zip(ref, via_gz):
+        np.testing.assert_array_equal(ai, bi)
+        np.testing.assert_array_equal(al, bl)
+    if native.available():
+        nat = list(criteo_batches_native(str(gz), cfg, 100, repeat=False))
+        for (ai, _, al), (bi, _, bl) in zip(ref, nat):
+            np.testing.assert_array_equal(ai, bi)
+
+
+def test_multifile_no_trailing_newline(tmp_path):
+    """Byte chunker: a file whose last row lacks a trailing newline
+    still yields that row (previously silently dropped)."""
+    from bench_input import _write_criteo
+
+    cfg = get_config("criteo_kaggle").model
+    p = tmp_path / "t.tsv"
+    _write_criteo(str(p), 50)
+    data = p.read_bytes().rstrip(b"\n")
+    p.write_bytes(data)
+    if native.available():
+        rows = sum(len(ids) for ids, _, _ in
+                   criteo_batches_native(str(p), cfg, 32, repeat=False))
+        assert rows == 50
