@@ -99,6 +99,15 @@ class OptimizerConfig:
     adam_b2: float = 0.999
     eps: float = 1e-8
     weight_decay: float = 0.0
+    # Learning-rate schedule, applied multiplicatively to BOTH the
+    # dense optax path and the sparse per-row path (so the two stay on
+    # the same curve): linear warmup over `warmup_steps`, then
+    # "constant" | "cosine" | "linear" decay to `end_lr_factor` of the
+    # base LR across `decay_steps` (0 = data.num_train_steps).
+    lr_schedule: str = "constant"  # "constant" | "cosine" | "linear"
+    warmup_steps: int = 0
+    decay_steps: int = 0
+    end_lr_factor: float = 0.0
     # Streamed table update (ops/streamed_update.py): "auto" enables the
     # full-table streaming Pallas kernel when the touched-row density
     # and table size make it beat the XLA scatter; "on"/"off" force it.

@@ -297,6 +297,38 @@ def dense_rowwise_apply(table: jax.Array, state: Dict, g: jax.Array,
         f"dense_rowwise_apply supports adagrad/sgd, got {opt.sparse_optimizer}")
 
 
+def schedule_factor(opt: OptimizerConfig, step: jax.Array,
+                    total_steps: int) -> jax.Array:
+    """Multiplicative LR factor at `step` (traced-safe, f32 scalar).
+
+    Linear warmup over opt.warmup_steps, then constant/cosine/linear
+    decay to opt.end_lr_factor across opt.decay_steps (0 = total_steps).
+    Applied identically to the dense optax updates and the sparse
+    per-row updates (via lr_scale), so both paths ride one curve —
+    scaling the post-optimizer update by f is exactly an LR of f*lr for
+    adam/adagrad/sgd (their accumulators are LR-independent)."""
+    s = jnp.asarray(step, jnp.float32)
+    warm = float(opt.warmup_steps)
+    f = jnp.minimum((s + 1.0) / warm, 1.0) if warm > 0 else jnp.float32(1.0)
+    if opt.lr_schedule == "constant":
+        return f
+    total = float(opt.decay_steps or total_steps)
+    end = float(opt.end_lr_factor)
+    prog = jnp.clip((s - warm) / max(total - warm, 1.0), 0.0, 1.0)
+    if opt.lr_schedule == "cosine":
+        decay = end + (1.0 - end) * 0.5 * (1.0 + jnp.cos(jnp.pi * prog))
+    elif opt.lr_schedule == "linear":
+        decay = end + (1.0 - end) * (1.0 - prog)
+    else:
+        raise ValueError(f"unknown lr_schedule {opt.lr_schedule!r}")
+    return f * decay
+
+
+def scale_updates(updates, factor):
+    """Scale an optax update pytree by the schedule factor."""
+    return jax.tree.map(lambda u: u * factor.astype(u.dtype), updates)
+
+
 def make_dense_optimizer(opt: OptimizerConfig) -> optax.GradientTransformation:
     if opt.dense_optimizer == "adam":
         tx = optax.adam(opt.dense_lr, b1=opt.adam_b1, b2=opt.adam_b2, eps=opt.eps)

@@ -34,6 +34,7 @@ from cffm_tpu import metrics
 from cffm_tpu.config import TrainConfig
 from cffm_tpu.models import cffm as model_lib
 from cffm_tpu.optim.rowwise import (dense_rowwise_apply, make_dense_optimizer,
+                                    scale_updates, schedule_factor,
                                     rowwise_init)
 from cffm_tpu.parallel import sharded_embedding as se
 from cffm_tpu.train import TrainState, merge_dense_params, split_dense_params
@@ -106,8 +107,9 @@ def _dense_table_grad(row_ids, row_grads, vs: int):
         row_grads, mode="drop")[:vs]
 
 
-def _local_step_2d(params, dense_opt_state, sparse_opt_state, ids, dense,
-                   labels, *, cfg: TrainConfig, capacity: int, interaction_fn):
+def _local_step_2d(params, dense_opt_state, sparse_opt_state, step_no,
+                   ids, dense, labels,
+                   *, cfg: TrainConfig, capacity: int, interaction_fn):
     mcfg = cfg.model
     b_loc, f = ids.shape
     w = mcfg.table_width
@@ -146,11 +148,13 @@ def _local_step_2d(params, dense_opt_state, sparse_opt_state, ids, dense,
         dlin = None
     loss = jax.lax.psum(loss, both)
 
+    lrf = schedule_factor(cfg.optim, step_no, cfg.data.num_train_steps)
     dgrads = jax.lax.psum(dgrads, both)
     tx = make_dense_optimizer(cfg.optim)
     updates, new_dense_opt = tx.update(dgrads, dense_opt_state,
                                        split_dense_params(params))
-    new_dense = optax.apply_updates(split_dense_params(params), updates)
+    new_dense = optax.apply_updates(split_dense_params(params),
+                                    scale_updates(updates, lrf))
     new_params = merge_dense_params(params, new_dense)
 
     # sparse: ICI grad return within the host, then one dense shard-grad
@@ -160,7 +164,8 @@ def _local_step_2d(params, dense_opt_state, sparse_opt_state, ids, dense,
     g_dense = jax.lax.psum(_dense_table_grad(row_ids, row_grads, vs), HOST)
     new_sparse = dict(sparse_opt_state)
     new_table, new_sparse["embed"] = dense_rowwise_apply(
-        table_local, sparse_opt_state["embed"], g_dense, cfg.optim)
+        table_local, sparse_opt_state["embed"], g_dense, cfg.optim,
+        lr_scale=lrf)
     new_params = dict(new_params, embed={"table": new_table})
     if separate_linear:
         lrow_ids, lrow_grads = se.grad_return(
@@ -168,7 +173,7 @@ def _local_step_2d(params, dense_opt_state, sparse_opt_state, ids, dense,
         gl_dense = jax.lax.psum(_dense_table_grad(lrow_ids, lrow_grads, vs), HOST)
         new_lin, new_sparse["linear"] = dense_rowwise_apply(
             params["linear"]["table"], sparse_opt_state["linear"], gl_dense,
-            cfg.optim)
+            cfg.optim, lr_scale=lrf)
         new_params = dict(new_params, linear=dict(new_params["linear"],
                                                   table=new_lin))
 
@@ -209,14 +214,14 @@ def make_sharded_train_step_2d(cfg: TrainConfig, mesh: Mesh,
         sparse_specs = make_sparse_spec(state.sparse_opt_state)
         fn = shard_map(
             body, mesh=mesh,
-            in_specs=(params_spec, repl, sparse_specs,
+            in_specs=(params_spec, repl, sparse_specs, repl,
                       batch, repl if dense is None else batch, batch),
             out_specs=(params_spec, repl, sparse_specs, repl),
             check_vma=False,
         )
         new_params, new_dense_opt, new_sparse, m = fn(
             state.params, state.dense_opt_state, state.sparse_opt_state,
-            ids, dense, labels)
+            state.step, ids, dense, labels)
         return TrainState(state.step + 1, new_params, new_dense_opt,
                           new_sparse), m
 

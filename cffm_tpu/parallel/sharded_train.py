@@ -26,7 +26,9 @@ from jax import shard_map
 from cffm_tpu import metrics
 from cffm_tpu.config import TrainConfig
 from cffm_tpu.models import cffm as model_lib
-from cffm_tpu.optim.rowwise import make_dense_optimizer, rowwise_init, rowwise_update
+from cffm_tpu.optim.rowwise import (make_dense_optimizer, rowwise_init,
+                                    rowwise_update, scale_updates,
+                                    schedule_factor)
 from cffm_tpu.parallel import sharded_embedding as se
 from cffm_tpu.train import TrainState, merge_dense_params, split_dense_params
 
@@ -83,7 +85,8 @@ def create_sharded_state(cfg: TrainConfig, rng: jax.Array, mesh: Mesh) -> TrainS
     return TrainState(jnp.zeros((), jnp.int32), params, dense_opt_state, sparse)
 
 
-def _local_step(params, dense_opt_state, sparse_opt_state, ids, dense, labels,
+def _local_step(params, dense_opt_state, sparse_opt_state, step_no,
+                ids, dense, labels,
                 *, cfg: TrainConfig, capacity: int, interaction_fn):
     """Per-shard body (runs under shard_map)."""
     mcfg = cfg.model
@@ -137,10 +140,12 @@ def _local_step(params, dense_opt_state, sparse_opt_state, ids, dense, labels,
     dbg("grads-psum:enter")
     dgrads = jax.lax.psum(dgrads, AXIS)
     dbg("grads-psum:exit")
+    lrf = schedule_factor(cfg.optim, step_no, cfg.data.num_train_steps)
     tx = make_dense_optimizer(cfg.optim)
     updates, new_dense_opt = tx.update(dgrads, dense_opt_state,
                                        split_dense_params(params))
-    new_dense = optax.apply_updates(split_dense_params(params), updates)
+    new_dense = optax.apply_updates(split_dense_params(params),
+                                    scale_updates(updates, lrf))
     new_params = merge_dense_params(params, new_dense)
 
     # sparse: reverse all-to-all, per-row update local to the shard
@@ -152,14 +157,14 @@ def _local_step(params, dense_opt_state, sparse_opt_state, ids, dense, labels,
     new_sparse = dict(sparse_opt_state)
     new_table, new_sparse["embed"] = rowwise_update(
         table_local, sparse_opt_state["embed"], row_ids, row_grads, cfg.optim,
-        max_unique=max_u)
+        max_unique=max_u, lr_scale=lrf)
     new_params = dict(new_params, embed={"table": new_table})
     if separate_linear:
         lrow_ids, lrow_grads = se.grad_return(
             dlin.reshape(-1, 1).astype(jnp.float32), routing, AXIS)
         new_lin, new_sparse["linear"] = rowwise_update(
             params["linear"]["table"], sparse_opt_state["linear"],
-            lrow_ids, lrow_grads, cfg.optim, max_unique=max_u)
+            lrow_ids, lrow_grads, cfg.optim, max_unique=max_u, lr_scale=lrf)
         new_params = dict(new_params, linear=dict(new_params["linear"], table=new_lin))
 
     step_metrics = {
@@ -197,14 +202,14 @@ def make_sharded_train_step(cfg: TrainConfig, mesh: Mesh, interaction_fn=None):
         sparse_specs = make_sparse_spec(state.sparse_opt_state)
         fn = shard_map(
             body, mesh=mesh,
-            in_specs=(params_spec, repl, sparse_specs,
+            in_specs=(params_spec, repl, sparse_specs, repl,
                       P(AXIS), repl if dense is None else P(AXIS), P(AXIS)),
             out_specs=(params_spec, repl, sparse_specs, repl),
             check_vma=False,
         )
         new_params, new_dense_opt, new_sparse, m = fn(
             state.params, state.dense_opt_state, state.sparse_opt_state,
-            ids, dense, labels)
+            state.step, ids, dense, labels)
         return TrainState(state.step + 1, new_params, new_dense_opt, new_sparse), m
 
     return jax.jit(step, donate_argnums=(0,))

@@ -26,6 +26,7 @@ from cffm_tpu import metrics
 from cffm_tpu.config import TrainConfig
 from cffm_tpu.models import cffm as model_lib
 from cffm_tpu.optim.rowwise import (make_dense_optimizer, rowwise_init,
+                                    scale_updates, schedule_factor,
                                     rowwise_update, unique_bound)
 
 
@@ -106,11 +107,13 @@ def train_step(
         )
         dlin = None
 
-    # Dense update (optax).
+    # Dense update (optax), scaled by the LR schedule.
+    lrf = schedule_factor(cfg.optim, state.step, cfg.data.num_train_steps)
     tx = make_dense_optimizer(cfg.optim)
     updates, new_dense_opt = tx.update(dgrads, state.dense_opt_state,
                                        split_dense_params(params))
-    new_dense = optax.apply_updates(split_dense_params(params), updates)
+    new_dense = optax.apply_updates(split_dense_params(params),
+                                    scale_updates(updates, lrf))
     new_params = merge_dense_params(params, new_dense)
 
     # Sparse per-row updates on the touched rows.
@@ -125,13 +128,14 @@ def train_step(
         new_params["embed"]["table"], state.sparse_opt_state["embed"],
         flat_ids, demb.reshape(-1, mcfg.table_width), cfg.optim,
         max_unique=max_u, field_offsets=offs, mask_sentinels=False,
+        lr_scale=lrf,
     )
     new_params = dict(new_params, embed={"table": new_table})
     if separate_linear:
         new_lin, new_sparse["linear"] = rowwise_update(
             new_params["linear"]["table"], state.sparse_opt_state["linear"],
             flat_ids, dlin.reshape(-1, 1), cfg.optim, max_unique=max_u,
-            field_offsets=offs, mask_sentinels=False,
+            field_offsets=offs, mask_sentinels=False, lr_scale=lrf,
         )
         new_params = dict(new_params, linear=dict(new_params["linear"], table=new_lin))
 

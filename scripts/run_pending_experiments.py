@@ -55,8 +55,10 @@ def main():
     py = sys.executable
 
     experiments = [
-        # Headline staged bench with the new fwd bt=256 default (#2).
-        ("bench_staged_32768", [py, "bench.py", "--timeout=600"], 700),
+        # Headline staged bench with the new fwd bt=256 default (#2);
+        # batch pinned (bench.py's default start is now 49152).
+        ("bench_staged_32768",
+         [py, "bench.py", "--batch=32768", "--timeout=600"], 700),
         # Flagship numeric check on real silicon (#6): kernels +
         # streamed update have only been validated in interpret mode.
         ("flagship_learn_check",
