@@ -23,7 +23,8 @@ import sys
 import time
 
 
-def _run_once(batch: int, feed: str = "staged") -> float:
+def _run_once(batch: int, feed: str = "staged",
+              table_dtype: str = "float32") -> float:
     """Train-step examples/s at this batch size (raises on device error).
 
     feed="staged": synthetic arrays pre-staged on device (pure device
@@ -40,7 +41,9 @@ def _run_once(batch: int, feed: str = "staged") -> float:
     from cffm_tpu.utils.timing import measure_rtt
 
     cfg = get_config("criteo_kaggle")
-    cfg = dataclasses.replace(cfg, data=dataclasses.replace(cfg.data, batch_size=batch))
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, batch_size=batch),
+        model=dataclasses.replace(cfg.model, table_dtype=table_dtype))
 
     if feed in ("reader", "prehashed"):
         return _run_reader_fed(cfg, batch, prehashed=(feed == "prehashed"))
@@ -222,6 +225,11 @@ def main(argv=None):
     ap.add_argument("--feed", choices=("staged", "reader", "prehashed",
                                        "score"),
                     default="staged")
+    ap.add_argument("--table_dtype", choices=("float32", "bfloat16"),
+                    default="float32",
+                    help="embedding-table storage dtype (bfloat16 halves "
+                    "table HBM + gather traffic; updates use stochastic "
+                    "rounding). staged feed only.")
     ap.add_argument("--batch", type=int, default=49152,
                     help="starting batch size (falls back down a ladder "
                     "through the known-good 32768 on device OOM)")
@@ -246,7 +254,8 @@ def main(argv=None):
             "error": f"timeout after {args.timeout}s "
                      "(device/relay unresponsive)",
         }
-        _attach_last_good(out, args.feed)
+        _attach_last_good(out, args.feed if args.table_dtype == "float32"
+                          else f"{args.feed}+{args.table_dtype}")
         print(json.dumps(out), flush=True)
         os._exit(0)
 
@@ -268,7 +277,8 @@ def main(argv=None):
     batch = ladder[0]
     for batch in ladder:
         try:
-            value = _run_once(batch, feed=args.feed)
+            value = _run_once(batch, feed=args.feed,
+                              table_dtype=args.table_dtype)
             error = None
             break
         except Exception as e:  # noqa: BLE001 — resilience is the point
@@ -291,11 +301,17 @@ def main(argv=None):
     }
     if args.feed != "staged":
         out["feed"] = args.feed
+    if args.table_dtype != "float32":
+        out["table_dtype"] = args.table_dtype
+    # bf16-table runs get their own last-good key (a variant must not
+    # overwrite the flagship staged f32 number).
+    lg_feed = (args.feed if args.table_dtype == "float32"
+               else f"{args.feed}+{args.table_dtype}")
     if error:
         out["error"] = error
-        _attach_last_good(out, args.feed)
+        _attach_last_good(out, lg_feed)
     else:
-        _record_last_good(out, args.feed)
+        _record_last_good(out, lg_feed)
     print(json.dumps(out))
     return 0
 

@@ -34,6 +34,12 @@ class ModelConfig:
     use_first_order: bool = True  # FM first-order linear term
     compute_dtype: str = "bfloat16"  # matmul/conv activations dtype
     param_dtype: str = "float32"
+    # Embedding-table storage dtype. "bfloat16" halves table HBM and
+    # lookup-gather traffic; per-row updates then go through
+    # gather-modify-write with optim.table_rounding (stochastic by
+    # default — round-to-nearest drops sub-ulp updates). Optimizer
+    # state stays f32 either way.
+    table_dtype: str = "float32"
     use_pallas: bool = True  # fused cross+conv kernel (auto-interprets off-TPU)
 
     def __post_init__(self):
@@ -108,6 +114,10 @@ class OptimizerConfig:
     warmup_steps: int = 0
     decay_steps: int = 0
     end_lr_factor: float = 0.0
+    # Rounding for updates into a bfloat16 table (model.table_dtype):
+    # "stochastic" (unbiased, keeps sub-ulp updates in expectation) or
+    # "nearest". Ignored for float32 tables.
+    table_rounding: str = "stochastic"
     # Streamed table update (ops/streamed_update.py): "auto" enables the
     # full-table streaming Pallas kernel when the touched-row density
     # and table size make it beat the XLA scatter; "on"/"off" force it.

@@ -35,17 +35,21 @@ def init_params(key: jax.Array, cfg: ModelConfig) -> Dict:
     """
     keys = jax.random.split(key, 8)
     pdt = jnp.dtype(cfg.param_dtype)
+    tdt = jnp.dtype(cfg.table_dtype)
     params = {}
 
+    # Tables are drawn in f32 then cast so a bf16 table is the rounding
+    # of the f32 one (same seed => comparable init across table_dtype).
     params["embed"] = {
-        "table": 0.01
-        * jax.random.normal(keys[0], (cfg.total_vocab, cfg.table_width), dtype=pdt)
+        "table": (0.01 * jax.random.normal(
+            keys[0], (cfg.total_vocab, cfg.table_width), dtype=jnp.float32)
+        ).astype(tdt)
     }
     if cfg.use_first_order:
         params["linear"] = {"bias": jnp.zeros((), dtype=pdt)}
         if not cfg.fused_linear:
-            params["linear"]["table"] = 0.01 * jax.random.normal(
-                keys[1], (cfg.total_vocab, 1), dtype=pdt)
+            params["linear"]["table"] = (0.01 * jax.random.normal(
+                keys[1], (cfg.total_vocab, 1), dtype=jnp.float32)).astype(tdt)
 
     conv_layers = []
     in_ch = cfg.num_pairs

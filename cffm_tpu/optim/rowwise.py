@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import optax
 
 from cffm_tpu.config import OptimizerConfig
+from cffm_tpu.ops.rounding import round_table_delta
 
 
 def unique_bound(vocab_sizes, batch_size: int) -> int:
@@ -140,6 +141,40 @@ def _per_field_sorted(row_ids: jax.Array, field_offsets,
     return sk.reshape(-1), order
 
 
+def _write_touched_rows(table: jax.Array, uids: jax.Array, uids_s: jax.Array,
+                        delta: jax.Array, opt: OptimizerConfig, sr_key):
+    """Apply f32 per-row `delta` to the touched rows of `table`.
+
+    f32 tables take the direct scatter-add. bf16 tables go through
+    gather -> f32 add -> (stochastic|nearest) round -> scatter-set
+    (ops/rounding.py): an in-dtype scatter-add would round-to-nearest
+    and drop any delta below the row's bf16 ulp. `uids` has invalid
+    slots mapped to row 0 (read-only, harmless); `uids_s` maps them out
+    of bounds so mode="drop" discards the write."""
+    if table.dtype != jnp.bfloat16:
+        return table.at[uids_s].add(
+            delta.astype(table.dtype), mode="drop", unique_indices=True,
+            indices_are_sorted=True)
+    rows = table[uids]
+    new_rows = round_table_delta(rows, delta, table.dtype,
+                                 opt.table_rounding, sr_key)
+    return table.at[uids_s].set(
+        new_rows, mode="drop", unique_indices=True, indices_are_sorted=True)
+
+
+def sr_keys(table_dtype: str, opt: OptimizerConfig, step, seed: int = 0):
+    """(embed_key, linear_key) for stochastic table rounding, or
+    (None, None) when the table dtype/rounding doesn't need one.
+    Deterministic in (seed, step) => reproducible runs; callers under
+    shard_map additionally fold in their axis index to decorrelate
+    shards."""
+    if (jnp.dtype(table_dtype) != jnp.bfloat16
+            or opt.table_rounding != "stochastic"):
+        return None, None
+    base = jax.random.fold_in(jax.random.key(seed ^ 0x5EED), step)
+    return jax.random.fold_in(base, 0), jax.random.fold_in(base, 1)
+
+
 def rowwise_update(
     table: jax.Array,
     state: Dict,
@@ -150,6 +185,7 @@ def rowwise_update(
     max_unique: int | None = None,
     field_offsets=None,
     mask_sentinels: bool = True,
+    sr_key=None,
 ) -> Tuple[jax.Array, Dict]:
     """Apply a sparse per-row update. row_ids (N,), grads (N, W).
 
@@ -163,6 +199,9 @@ def rowwise_update(
     mask_sentinels: pass False when the caller guarantees row_ids >= 0
     (the single-host data layer hashes ids in-range) — skips a full
     zeroing pass over grads (measured 5 ms on the 1.6 GB grad block).
+    sr_key: rng key for stochastic rounding into bf16 tables (required
+    when table.dtype is bfloat16 and opt.table_rounding="stochastic";
+    unused for f32 tables).
     """
     w = table.shape[1]
     assert grads.shape[-1] == w
@@ -227,9 +266,7 @@ def rowwise_update(
             g2, mode="drop", unique_indices=True, indices_are_sorted=True)
         denom = jnp.sqrt(new_accum[uids]) + opt.eps
         delta = -lr * g / denom
-        new_table = table.at[uids_s].add(
-            delta.astype(table.dtype), mode="drop", unique_indices=True,
-            indices_are_sorted=True)
+        new_table = _write_touched_rows(table, uids, uids_s, delta, opt, sr_key)
         return new_table, {"accum": new_accum}
 
     if opt.sparse_optimizer == "adam":
@@ -256,25 +293,21 @@ def rowwise_update(
         mhat = new_m[uids] / (1 - opt.adam_b1 ** t.astype(jnp.float32))
         vhat = new_v[uids] / (1 - opt.adam_b2 ** t.astype(jnp.float32))
         delta = jnp.where(valid[:, None], -lr * mhat / (jnp.sqrt(vhat) + opt.eps), 0.0)
-        new_table = table.at[uids_s].add(
-            delta.astype(table.dtype), mode="drop", unique_indices=True,
-            indices_are_sorted=True)
+        new_table = _write_touched_rows(table, uids, uids_s, delta, opt, sr_key)
         return new_table, {"m": new_m, "v": new_v, "t": t}
 
     if opt.sparse_optimizer == "sgd":
         uids_s = jnp.where(valid, uids, table.shape[0])
         delta = jnp.where(valid[:, None], -lr * g, 0.0)
-        new_table = table.at[uids_s].add(
-            delta.astype(table.dtype), mode="drop", unique_indices=True,
-            indices_are_sorted=True)
+        new_table = _write_touched_rows(table, uids, uids_s, delta, opt, sr_key)
         return new_table, state
 
     raise ValueError(opt.sparse_optimizer)
 
 
 def dense_rowwise_apply(table: jax.Array, state: Dict, g: jax.Array,
-                        opt: OptimizerConfig, lr_scale: float = 1.0
-                        ) -> Tuple[jax.Array, Dict]:
+                        opt: OptimizerConfig, lr_scale: float = 1.0,
+                        sr_key=None) -> Tuple[jax.Array, Dict]:
     """Dense-form row-wise update: g is a full table-shaped gradient
     (untouched rows are all-zero => exact no-op for adagrad/sgd, same
     semantics as the sparse scatter path). Used where grads are psum'd
@@ -290,9 +323,15 @@ def dense_rowwise_apply(table: jax.Array, state: Dict, g: jax.Array,
     if opt.sparse_optimizer == "adagrad":
         new_accum = state["accum"] + jnp.mean(g * g, axis=-1, keepdims=True)
         delta = -lr * g / (jnp.sqrt(new_accum) + opt.eps)
-        return table + delta.astype(table.dtype), {"accum": new_accum}
+        return (round_table_delta(table, delta, table.dtype,
+                                  opt.table_rounding, sr_key)
+                if table.dtype == jnp.bfloat16
+                else table + delta.astype(table.dtype)), {"accum": new_accum}
     if opt.sparse_optimizer == "sgd":
-        return table + (-lr * g).astype(table.dtype), state
+        return (round_table_delta(table, -lr * g, table.dtype,
+                                  opt.table_rounding, sr_key)
+                if table.dtype == jnp.bfloat16
+                else table + (-lr * g).astype(table.dtype)), state
     raise ValueError(
         f"dense_rowwise_apply supports adagrad/sgd, got {opt.sparse_optimizer}")
 

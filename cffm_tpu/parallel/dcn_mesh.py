@@ -34,7 +34,7 @@ from cffm_tpu import metrics
 from cffm_tpu.config import TrainConfig
 from cffm_tpu.models import cffm as model_lib
 from cffm_tpu.optim.rowwise import (dense_rowwise_apply, make_dense_optimizer,
-                                    scale_updates, schedule_factor,
+                                    scale_updates, schedule_factor, sr_keys,
                                     rowwise_init)
 from cffm_tpu.parallel import sharded_embedding as se
 from cffm_tpu.train import TrainState, merge_dense_params, split_dense_params
@@ -66,13 +66,14 @@ def create_sharded_state_2d(cfg: TrainConfig, rng: jax.Array,
 
     params = model_lib.init_params(rng, mcfg)
     k1, k2 = jax.random.split(rng)
-    table = 0.01 * jax.random.normal(k1, (v_pad, mcfg.table_width),
-                                     dtype=jnp.dtype(mcfg.param_dtype))
+    tdt = jnp.dtype(mcfg.table_dtype)
+    table = (0.01 * jax.random.normal(k1, (v_pad, mcfg.table_width),
+                                      dtype=jnp.float32)).astype(tdt)
     params["embed"]["table"] = jax.device_put(
         table, NamedSharding(mesh, P(CHIP, None)))
     if mcfg.use_first_order and not mcfg.fused_linear:
-        lin = 0.01 * jax.random.normal(k2, (v_pad, 1),
-                                       dtype=jnp.dtype(mcfg.param_dtype))
+        lin = (0.01 * jax.random.normal(k2, (v_pad, 1),
+                                        dtype=jnp.float32)).astype(tdt)
         params["linear"]["table"] = jax.device_put(
             lin, NamedSharding(mesh, P(CHIP, None)))
 
@@ -163,9 +164,19 @@ def _local_step_2d(params, dense_opt_state, sparse_opt_state, step_no,
     row_ids, row_grads = se.grad_return(demb.reshape(-1, w), routing, CHIP)
     g_dense = jax.lax.psum(_dense_table_grad(row_ids, row_grads, vs), HOST)
     new_sparse = dict(sparse_opt_state)
+    sk_emb, sk_lin = sr_keys(mcfg.table_dtype, cfg.optim, step_no,
+                             cfg.data.seed)
+    if sk_emb is not None:
+        # Fold in ONLY the chip index: each host holds a REPLICA of the
+        # chip's table shard and applies the identical psum'd dense
+        # update — the stochastic-rounding dither must match across
+        # hosts or the replicas drift apart.
+        chip = jax.lax.axis_index(CHIP)
+        sk_emb = jax.random.fold_in(sk_emb, chip)
+        sk_lin = jax.random.fold_in(sk_lin, chip)
     new_table, new_sparse["embed"] = dense_rowwise_apply(
         table_local, sparse_opt_state["embed"], g_dense, cfg.optim,
-        lr_scale=lrf)
+        lr_scale=lrf, sr_key=sk_emb)
     new_params = dict(new_params, embed={"table": new_table})
     if separate_linear:
         lrow_ids, lrow_grads = se.grad_return(
@@ -173,7 +184,7 @@ def _local_step_2d(params, dense_opt_state, sparse_opt_state, step_no,
         gl_dense = jax.lax.psum(_dense_table_grad(lrow_ids, lrow_grads, vs), HOST)
         new_lin, new_sparse["linear"] = dense_rowwise_apply(
             params["linear"]["table"], sparse_opt_state["linear"], gl_dense,
-            cfg.optim, lr_scale=lrf)
+            cfg.optim, lr_scale=lrf, sr_key=sk_lin)
         new_params = dict(new_params, linear=dict(new_params["linear"],
                                                   table=new_lin))
 

@@ -28,7 +28,7 @@ from cffm_tpu.config import TrainConfig
 from cffm_tpu.models import cffm as model_lib
 from cffm_tpu.optim.rowwise import (make_dense_optimizer, rowwise_init,
                                     rowwise_update, scale_updates,
-                                    schedule_factor)
+                                    schedule_factor, sr_keys)
 from cffm_tpu.parallel import sharded_embedding as se
 from cffm_tpu.train import TrainState, merge_dense_params, split_dense_params
 
@@ -54,13 +54,14 @@ def create_sharded_state(cfg: TrainConfig, rng: jax.Array, mesh: Mesh) -> TrainS
     params = model_lib.init_params(rng, mcfg)
     # re-create tables at padded size
     k1, k2 = jax.random.split(rng)
-    table = 0.01 * jax.random.normal(k1, (v_pad, mcfg.table_width),
-                                     dtype=jnp.dtype(mcfg.param_dtype))
+    tdt = jnp.dtype(mcfg.table_dtype)
+    table = (0.01 * jax.random.normal(k1, (v_pad, mcfg.table_width),
+                                      dtype=jnp.float32)).astype(tdt)
     params["embed"]["table"] = jax.device_put(
         table, NamedSharding(mesh, P(AXIS, None)))
     if mcfg.use_first_order and not mcfg.fused_linear:
-        lin = 0.01 * jax.random.normal(k2, (v_pad, 1),
-                                       dtype=jnp.dtype(mcfg.param_dtype))
+        lin = (0.01 * jax.random.normal(k2, (v_pad, 1),
+                                        dtype=jnp.float32)).astype(tdt)
         params["linear"]["table"] = jax.device_put(
             lin, NamedSharding(mesh, P(AXIS, None)))
 
@@ -155,16 +156,24 @@ def _local_step(params, dense_opt_state, sparse_opt_state, step_no,
     # distinct local rows are bounded by the shard's row count
     max_u = int(table_local.shape[0]) + 1
     new_sparse = dict(sparse_opt_state)
+    sk_emb, sk_lin = sr_keys(mcfg.table_dtype, cfg.optim, step_no,
+                             cfg.data.seed)
+    if sk_emb is not None:
+        # decorrelate the shards' stochastic-rounding dither
+        shard = jax.lax.axis_index(AXIS)
+        sk_emb = jax.random.fold_in(sk_emb, shard)
+        sk_lin = jax.random.fold_in(sk_lin, shard)
     new_table, new_sparse["embed"] = rowwise_update(
         table_local, sparse_opt_state["embed"], row_ids, row_grads, cfg.optim,
-        max_unique=max_u, lr_scale=lrf)
+        max_unique=max_u, lr_scale=lrf, sr_key=sk_emb)
     new_params = dict(new_params, embed={"table": new_table})
     if separate_linear:
         lrow_ids, lrow_grads = se.grad_return(
             dlin.reshape(-1, 1).astype(jnp.float32), routing, AXIS)
         new_lin, new_sparse["linear"] = rowwise_update(
             params["linear"]["table"], sparse_opt_state["linear"],
-            lrow_ids, lrow_grads, cfg.optim, max_unique=max_u, lr_scale=lrf)
+            lrow_ids, lrow_grads, cfg.optim, max_unique=max_u, lr_scale=lrf,
+            sr_key=sk_lin)
         new_params = dict(new_params, linear=dict(new_params["linear"], table=new_lin))
 
     step_metrics = {

@@ -26,7 +26,7 @@ from cffm_tpu import metrics
 from cffm_tpu.config import TrainConfig
 from cffm_tpu.models import cffm as model_lib
 from cffm_tpu.optim.rowwise import (make_dense_optimizer, rowwise_init,
-                                    scale_updates, schedule_factor,
+                                    scale_updates, schedule_factor, sr_keys,
                                     rowwise_update, unique_bound)
 
 
@@ -124,11 +124,13 @@ def train_step(
     # in-range, so the sentinel-zeroing pass over the 1.6 GB grad block
     # is dead weight here (the sharded engine keeps masking on).
     offs = tuple(int(o) for o in model_lib.field_offsets(mcfg))
+    sk_emb, sk_lin = sr_keys(mcfg.table_dtype, cfg.optim, state.step,
+                             cfg.data.seed)
     new_table, new_sparse["embed"] = rowwise_update(
         new_params["embed"]["table"], state.sparse_opt_state["embed"],
         flat_ids, demb.reshape(-1, mcfg.table_width), cfg.optim,
         max_unique=max_u, field_offsets=offs, mask_sentinels=False,
-        lr_scale=lrf,
+        lr_scale=lrf, sr_key=sk_emb,
     )
     new_params = dict(new_params, embed={"table": new_table})
     if separate_linear:
@@ -136,6 +138,7 @@ def train_step(
             new_params["linear"]["table"], state.sparse_opt_state["linear"],
             flat_ids, dlin.reshape(-1, 1), cfg.optim, max_unique=max_u,
             field_offsets=offs, mask_sentinels=False, lr_scale=lrf,
+            sr_key=sk_lin,
         )
         new_params = dict(new_params, linear=dict(new_params["linear"], table=new_lin))
 

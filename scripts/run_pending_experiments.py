@@ -78,6 +78,20 @@ def main():
          [py, "bench.py", "--feed=reader", "--timeout=600"], 700),
         ("bench_prehashed",
          [py, "bench.py", "--feed=prehashed", "--timeout=600"], 700),
+        # bf16 table storage (#8): halves table HBM (6.6->3.3 GB) and
+        # gather traffic; stochastic-rounding updates. Speed here,
+        # quality via flagship_bf16_learn_check below.
+        ("bench_staged_bf16",
+         [py, "bench.py", "--table_dtype=bfloat16", "--batch=32768",
+          "--timeout=600"], 700),
+        ("bench_staged_bf16_65536",
+         [py, "bench.py", "--table_dtype=bfloat16", "--batch=65536",
+          "--timeout=600"], 700),
+        ("flagship_bf16_learn_check",
+         [py, "-u", "-m", "cffm_tpu.train", "--config=criteo_kaggle",
+          "--model.table_dtype=bfloat16", "--data.num_train_steps=300",
+          "--data.batch_size=8192", "--log_every=50",
+          "--data.eval_batches=8"], 900),
         # Kernel micro-bench: fwd bt sweep to confirm the picker (#2).
         ("kernel_bts",
          [py, "scripts/bench_kernel.py", "--bts=128,256,512"], 700),
