@@ -65,6 +65,7 @@ def auc_state_init(num_bins: int = AUC_NUM_BINS) -> Dict[str, jax.Array]:
         "pos": jnp.zeros((num_bins,), jnp.float32),
         "neg": jnp.zeros((num_bins,), jnp.float32),
         "loss_sum": jnp.zeros((), jnp.float32),
+        "p_sum": jnp.zeros((), jnp.float32),  # for calibration
         "count": jnp.zeros((), jnp.float32),
     }
 
@@ -92,6 +93,7 @@ def auc_state_update(
         "pos": pos,
         "neg": neg,
         "loss_sum": state["loss_sum"] + loss,
+        "p_sum": state["p_sum"] + jnp.sum(p * m),
         "count": state["count"] + jnp.sum(m),
     }
 
@@ -113,8 +115,14 @@ def auc_state_finalize(state: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
     tpr = jnp.concatenate([jnp.zeros((1,)), tpr])
     fpr = jnp.concatenate([jnp.zeros((1,)), fpr])
     auc = jnp.sum((fpr[1:] - fpr[:-1]) * (tpr[1:] + tpr[:-1]) / 2.0)
+    # Calibration = mean predicted CTR / observed CTR; 1.0 is perfectly
+    # calibrated, the standard production-CTR health metric next to AUC.
+    mean_p = state["p_sum"] / jnp.maximum(state["count"], 1.0)
+    ctr = n_pos / jnp.maximum(state["count"], 1.0)
     return {
         "auc": jnp.where((n_pos == 0) | (n_neg == 0), jnp.nan, auc),
         "logloss": state["loss_sum"] / jnp.maximum(state["count"], 1.0),
+        "calibration": jnp.where(n_pos > 0, mean_p / jnp.maximum(ctr, 1e-12),
+                                 jnp.nan),
         "count": state["count"],
     }

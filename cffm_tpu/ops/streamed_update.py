@@ -100,7 +100,8 @@ def supported(num_rows: int, width: int, m: int) -> bool:
             and padded_entries(m, r) * 4 <= MAX_RESIDENT_IDS_BYTES)
 
 
-def _kernel(lo_ref, hyper_ref, *refs, r: int, winb: int, adagrad: bool):
+def _kernel(lo_ref, hyper_ref, *refs, r: int, winb: int, adagrad: bool,
+            stochastic: bool, nt: int):
     """refs: uids (M/EB, EB) i32 resident, g_0..g_{winb-1} (EB, W),
     table_in (R, W), [acc_in (R, 1)], table_out (R, W), [acc_out (R, 1)]."""
     u_ref = refs[0]
@@ -132,7 +133,24 @@ def _kernel(lo_ref, hyper_ref, *refs, r: int, winb: int, adagrad: bool):
         delta = (-lr) * s / (jnp.sqrt(acc_new) + eps)
     else:
         delta = (-lr) * s
-    table_out[...] = table_in[...] + delta
+    if table_in.dtype == jnp.bfloat16:
+        # bf16 table: f32 add then round back per tile. Stochastic
+        # rounding (per-tile-seeded hardware PRNG) keeps sub-ulp deltas
+        # in expectation; untouched rows have delta exactly 0 and any
+        # rounding of an exact bf16 value is the identity.
+        newv = table_in[...].astype(jnp.float32) + delta
+        if stochastic:
+            # seed rides at lo_ref[nt] (appended past the per-tile lo
+            # entries); + t decorrelates the tiles' dither streams.
+            pltpu.prng_seed(lo_ref[nt] + t)
+            bits = pltpu.bitcast(
+                pltpu.prng_random_bits(newv.shape), jnp.uint32)
+            table_out[...] = pltpu.stochastic_round(
+                newv, bits, target_dtype=jnp.bfloat16)
+        else:
+            table_out[...] = newv.astype(jnp.bfloat16)
+    else:
+        table_out[...] = table_in[...] + delta
 
 
 def streamed_rowwise_apply(
@@ -144,12 +162,14 @@ def streamed_rowwise_apply(
     eps: float | jax.Array,
     r: int | None = None,
     interpret: bool | None = None,
+    sr_seed: jax.Array | None = None,
 ):
     """Apply -lr*g/(sqrt(acc)+eps) (adagrad) or -lr*g (sgd) at unique rows.
 
-    table (V, W) f32 with W % 128 == 0 and pick_tile(V) > 0;
+    table (V, W) f32 OR bf16 with W % 128 == 0 and pick_tile(V) > 0;
     accum (V, 1) f32 or None; uids/gsum per the module contract.
-    Returns (new_table, new_accum).
+    sr_seed: int32 scalar enabling stochastic rounding for bf16 tables
+    (None = round-to-nearest). Returns (new_table, new_accum).
     """
     if interpret is None:
         interpret = _auto_interpret()
@@ -159,6 +179,13 @@ def streamed_rowwise_apply(
         r = pick_tile(v)
     assert r, f"table too small to stream: num_rows={v}"
     adagrad = accum is not None
+    # Interpret mode (CPU tests) lacks the TPU PRNG primitives
+    # (prng_seed has no CPU lowering), so bf16 tables round to nearest
+    # there; the stochastic path is exercised on real silicon
+    # (NEXT_EXPERIMENTS #8 flagship bf16 learn check). The SR math
+    # itself is CPU-tested via the scatter path (ops/rounding.py).
+    stochastic = (table.dtype == jnp.bfloat16 and sr_seed is not None
+                  and not interpret)
     winb = win_blocks(r)
     gsum = gsum.astype(jnp.bfloat16)  # window DMA traffic dominates
 
@@ -175,6 +202,10 @@ def streamed_rowwise_apply(
     tile_starts = jnp.arange(t_full, dtype=jnp.int32) * r
     lo = jnp.searchsorted(uids, tile_starts).astype(jnp.int32)
     lo_blk = jnp.minimum(lo // EB, m_pad // EB - winb)
+    # stochastic-rounding seed rides as one extra int32 past the tiles
+    seed = (sr_seed if stochastic
+            else jnp.zeros((), jnp.int32)).astype(jnp.int32)
+    lo_blk = jnp.concatenate([lo_blk, seed[None]])
 
     hyper = jnp.stack([jnp.asarray(lr, jnp.float32),
                        jnp.asarray(eps, jnp.float32)])
@@ -206,7 +237,8 @@ def streamed_rowwise_apply(
         out_specs.append(acc_spec)
         io_aliases[4 + winb] = 1
 
-    kernel = functools.partial(_kernel, r=r, winb=winb, adagrad=adagrad)
+    kernel = functools.partial(_kernel, r=r, winb=winb, adagrad=adagrad,
+                               stochastic=stochastic, nt=t_full)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(t_full,),

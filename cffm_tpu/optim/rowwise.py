@@ -96,7 +96,7 @@ def _should_stream(table: jax.Array, opt: OptimizerConfig, n_ids: int,
     if opt.sparse_optimizer not in ("adagrad", "sgd"):
         return False
     v, w = table.shape
-    if w % 128 != 0 or table.dtype != jnp.float32:
+    if w % 128 != 0 or table.dtype not in (jnp.float32, jnp.bfloat16):
         return False
     from cffm_tpu.ops.streamed_update import pick_tile
 
@@ -245,12 +245,19 @@ def rowwise_update(
         uids, g, count = sorted_segment_sum_compact(sid, grads[order], m_pad)
         uids_s = jnp.where(jnp.arange(m_pad) < count, uids,
                            num_rows).astype(jnp.int32)
+        seed = None
+        if (table.dtype == jnp.bfloat16 and opt.table_rounding == "stochastic"):
+            if sr_key is None:
+                raise ValueError("bf16 streamed update with stochastic "
+                                 "rounding needs sr_key")
+            seed = jax.random.randint(sr_key, (), 0, 2**31 - 1, jnp.int32)
         if opt.sparse_optimizer == "adagrad":
             new_table, new_accum = streamed_rowwise_apply(
-                table, state["accum"], uids_s, g, lr, opt.eps, r=r)
+                table, state["accum"], uids_s, g, lr, opt.eps, r=r,
+                sr_seed=seed)
             return new_table, {"accum": new_accum}
         new_table, _ = streamed_rowwise_apply(
-            table, None, uids_s, g, lr, opt.eps, r=r)
+            table, None, uids_s, g, lr, opt.eps, r=r, sr_seed=seed)
         return new_table, state
 
     uids, g, valid = _dedup_sum(safe_ids, grads, table.shape[0], max_unique)

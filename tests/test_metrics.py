@@ -46,3 +46,30 @@ def test_logloss_stability():
     assert float(metrics.logloss(logits, labels)) < 1e-6
     labels = np.array([0.0, 1.0], dtype=np.float32)
     assert np.isfinite(float(metrics.logloss(logits, labels)))
+
+
+def test_calibration_metric():
+    import jax.numpy as jnp
+
+    from cffm_tpu import metrics as M
+
+    # logits whose sigmoid-mean equals the label mean -> calibration 1
+    labels = jnp.asarray([1.0, 0.0, 1.0, 0.0])
+    logits = jnp.zeros((4,))  # p = 0.5 everywhere; ctr = 0.5
+    st = M.auc_state_update(M.auc_state_init(), logits, labels)
+    out = M.auc_state_finalize(st)
+    assert abs(float(out["calibration"]) - 1.0) < 1e-6
+
+    # systematic over-prediction: p = 0.8 vs ctr = 0.5 -> 1.6
+    logits = jnp.full((4,), float(jnp.log(0.8 / 0.2)))
+    out = M.auc_state_finalize(
+        M.auc_state_update(M.auc_state_init(), logits, labels))
+    assert abs(float(out["calibration"]) - 1.6) < 1e-3
+
+    # masked-out tail must not shift calibration
+    labels2 = jnp.asarray([1.0, 0.0, 1.0, 0.0, 1.0, 1.0])
+    logits2 = jnp.concatenate([jnp.zeros((4,)), jnp.full((2,), 5.0)])
+    mask = jnp.asarray([1.0, 1.0, 1.0, 1.0, 0.0, 0.0])
+    out = M.auc_state_finalize(
+        M.auc_state_update(M.auc_state_init(), logits2, labels2, mask=mask))
+    assert abs(float(out["calibration"]) - 1.0) < 1e-6

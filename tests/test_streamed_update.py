@@ -165,3 +165,40 @@ def test_auto_heuristic_gates_small_tables():
         opt, sparse_optimizer="adam"), 1 << 20, 1 << 17)  # adam unsupported
     odd = jnp.zeros((1 << 17, 130), jnp.float32)
     assert not _should_stream(odd, opt, 1 << 20, 1 << 17)  # width not 128x
+
+
+@pytest.mark.parametrize("optimizer", ["adagrad", "sgd"])
+def test_streamed_bf16_table(optimizer):
+    """bf16 table through the streamed kernel: untouched rows bit-exact,
+    touched rows within one bf16 ulp of the f32 streamed result.
+    (Interpret mode rounds to nearest — the stochastic path needs the
+    TPU PRNG; its math is covered by test_bf16_table.py on the scatter
+    path and by the queued on-chip learn check.)"""
+    import jax
+
+    table, ids, grads = _mk(2)
+    on = OptimizerConfig(sparse_optimizer=optimizer, sparse_lr=0.05,
+                         streamed_update="on")
+
+    tb16 = jnp.asarray(table).astype(jnp.bfloat16)
+    st = rowwise_init(tb16, on)
+    t_b16, s_b16 = rowwise_update(tb16, st, jnp.asarray(ids),
+                                  jnp.asarray(grads), on,
+                                  sr_key=jax.random.key(3))
+    assert t_b16.dtype == jnp.bfloat16
+
+    # f32 streamed run STARTED FROM the bf16-rounded table = exact math
+    t_f32, _ = _run(on, np.asarray(tb16, np.float32), ids, grads)
+
+    touched = np.zeros(V, bool)
+    touched[ids[ids >= 0]] = True
+    old = np.asarray(tb16, np.float32)
+    new = np.asarray(t_b16, np.float32)
+    np.testing.assert_array_equal(new[~touched], old[~touched])
+    want = np.asarray(t_f32, np.float32)[touched]
+    got = new[touched]
+    ulp = np.maximum(np.abs(want) * 2.0 ** -7, 2.0 ** -133)
+    assert np.all(np.abs(got - want) <= ulp + 1e-7)
+    if optimizer == "adagrad":
+        acc = np.asarray(s_b16["accum"])
+        assert np.all(acc[~touched, 0] == float(on.adagrad_init))
