@@ -105,6 +105,11 @@ class OptimizerConfig:
     adam_b2: float = 0.999
     eps: float = 1e-8
     weight_decay: float = 0.0
+    # Global-norm clip on the dense grads (0 = off), applied inside the
+    # optax chain before the optimizer; sparse row grads are clipped
+    # per-row to the same norm (a global norm over a 100M-row table is
+    # meaningless — rows are independent parameters in the FM sense).
+    clip_norm: float = 0.0
     # Learning-rate schedule, applied multiplicatively to BOTH the
     # dense optax path and the sparse per-row path (so the two stay on
     # the same curve): linear warmup over `warmup_steps`, then

@@ -243,6 +243,7 @@ def rowwise_update(
             pos = jnp.arange(safe_ids.shape[0], dtype=jnp.int32)
             sid, order = jax.lax.sort_key_val(safe_ids, pos)
         uids, g, count = sorted_segment_sum_compact(sid, grads[order], m_pad)
+        g = clip_rows(g, opt)
         uids_s = jnp.where(jnp.arange(m_pad) < count, uids,
                            num_rows).astype(jnp.int32)
         seed = None
@@ -261,6 +262,7 @@ def rowwise_update(
         return new_table, state
 
     uids, g, valid = _dedup_sum(safe_ids, grads, table.shape[0], max_unique)
+    g = clip_rows(g, opt)
 
     if opt.sparse_optimizer == "adagrad":
         accum = state["accum"]
@@ -326,7 +328,7 @@ def dense_rowwise_apply(table: jax.Array, state: Dict, g: jax.Array,
     # grads may arrive in the compute dtype (bf16 over the DCN psum);
     # the accumulator/delta math must run f32 — mean(g*g) in bf16 loses
     # the accumulator's low bits every step.
-    g = g.astype(jnp.float32)
+    g = clip_rows(g.astype(jnp.float32), opt)
     if opt.sparse_optimizer == "adagrad":
         new_accum = state["accum"] + jnp.mean(g * g, axis=-1, keepdims=True)
         delta = -lr * g / (jnp.sqrt(new_accum) + opt.eps)
@@ -386,4 +388,16 @@ def make_dense_optimizer(opt: OptimizerConfig) -> optax.GradientTransformation:
         raise ValueError(opt.dense_optimizer)
     if opt.weight_decay > 0:
         tx = optax.chain(optax.add_decayed_weights(opt.weight_decay), tx)
+    if opt.clip_norm > 0:
+        tx = optax.chain(optax.clip_by_global_norm(opt.clip_norm), tx)
     return tx
+
+
+def clip_rows(g: jax.Array, opt: OptimizerConfig) -> jax.Array:
+    """Per-row L2 clip of sparse row grads (N, W) to opt.clip_norm.
+    No-op when clip_norm == 0. f32 norm math regardless of g dtype."""
+    if opt.clip_norm <= 0:
+        return g
+    n = jnp.sqrt(jnp.sum(g.astype(jnp.float32) ** 2, axis=-1, keepdims=True))
+    scale = jnp.minimum(1.0, opt.clip_norm / jnp.maximum(n, 1e-12))
+    return g * scale.astype(g.dtype)

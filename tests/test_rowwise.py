@@ -100,3 +100,36 @@ def test_sgd_and_adam_finite():
         new_table, _ = rowwise_update(table, state, ids, grads, opt)
         assert bool(jnp.all(jnp.isfinite(new_table)))
         assert float(jnp.abs(new_table - table).sum()) > 0
+
+
+def test_clip_rows_per_row_semantics():
+    import dataclasses
+
+    from cffm_tpu.optim.rowwise import clip_rows
+
+    opt = OptimizerConfig(clip_norm=1.0)
+    g = np.zeros((3, W), np.float32)
+    g[0, 0] = 10.0   # norm 10 -> scaled to 1
+    g[1, :] = 0.01   # norm 0.04 -> untouched
+    g[2, 0] = -5.0   # sign preserved
+    out = np.asarray(clip_rows(jnp.asarray(g), opt))
+    assert abs(np.linalg.norm(out[0]) - 1.0) < 1e-5
+    np.testing.assert_array_equal(out[1], g[1])
+    assert abs(out[2, 0] + 1.0) < 1e-5
+    # clip_norm=0 disables
+    out2 = clip_rows(jnp.asarray(g), dataclasses.replace(opt, clip_norm=0.0))
+    np.testing.assert_array_equal(np.asarray(out2), g)
+
+
+def test_clip_applies_after_dedup_sum():
+    # Two duplicate ids each with grad norm 0.6: the summed row grad
+    # (norm 1.2) must be clipped to 1.0 — clip AFTER the segment sum.
+    opt = OptimizerConfig(sparse_optimizer="sgd", sparse_lr=1.0,
+                          clip_norm=1.0)
+    table = jnp.zeros((8, W), jnp.float32)
+    ids = jnp.asarray([3, 3], jnp.int32)
+    g = np.zeros((2, W), np.float32)
+    g[:, 0] = 0.6
+    new_table, _ = rowwise_update(table, {}, ids, jnp.asarray(g), opt)
+    got = float(np.asarray(new_table)[3, 0])
+    assert abs(got + 1.0) < 1e-5, got  # -lr * clipped(1.2 -> 1.0)
