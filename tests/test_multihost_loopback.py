@@ -36,7 +36,7 @@ cfg = TrainConfig(
         compute_dtype="float32", use_pallas=False,
     ),
     data=DataConfig(batch_size=256, num_train_steps=4, eval_batches=2, seed=0),
-    sharding=ShardingConfig(table_sharded=True),
+    sharding=ShardingConfig(table_sharded=True, table_axis=sys.argv[3]),
     log_every=1,
 )
 losses = []
@@ -47,7 +47,12 @@ print("WORKER_RESULT", int(sys.argv[2]), json.dumps(result), flush=True)
 
 @pytest.mark.skipif(os.environ.get("CFFM_SKIP_MULTIHOST") == "1",
                     reason="explicitly skipped")
-def test_two_process_loopback(tmp_path):
+@pytest.mark.parametrize("table_axis", ["global", "intra_host"])
+def test_two_process_loopback(tmp_path, table_axis):
+    # "global": one flat 8-device axis, the lookup all-to-all crosses
+    # process boundaries. "intra_host": 2D (host=2, chip=4) DCN mesh —
+    # tables sharded inside each process, table grads psum'd across
+    # (parallel/dcn_mesh.py, SURVEY.md M5) — the real multi-host layout.
     port = _free_port()
     coord = f"localhost:{port}"
     script = tmp_path / "worker.py"
@@ -59,7 +64,7 @@ def test_two_process_loopback(tmp_path):
 
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), coord, str(i)],
+            [sys.executable, str(script), coord, str(i), table_axis],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
             text=True)
         for i in range(2)
