@@ -141,6 +141,12 @@ class DataConfig:
     # file order keeps parity paths bit-reproducible.
     shuffle: bool = False
     shuffle_buffer: int = 1 << 14
+    # Negative downsampling (train stream only): keep every positive,
+    # keep each negative with this probability. <1 rebalances the
+    # class-skewed CTR stream; eval/score/export logits are corrected
+    # by +ln(rate) automatically (metrics.calibration_offset) so
+    # calibration against the TRUE distribution is preserved.
+    neg_downsample: float = 1.0
     num_train_steps: int = 1000
     eval_every: int = 0  # 0 = eval only at the end
     eval_batches: int = 32

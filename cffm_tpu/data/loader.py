@@ -81,8 +81,47 @@ def shuffled_batches(raw, buffer_rows: int, seed: int = 0):
             yield split_rows(pool, perm[s:s + batch])
 
 
+def downsampled_batches(raw, keep_rate: float, seed: int = 0):
+    """Negative downsampling over a stream of exact-size batches.
+
+    Keeps every positive, keeps each negative with probability
+    keep_rate, and re-accumulates survivors into exact-size batches
+    (static shapes for the jit'd step). The standard production-CTR
+    trick for class-imbalanced streams; the model then over-predicts by
+    odds 1/keep_rate, corrected at eval/serving by adding
+    ln(keep_rate) to the logit (metrics.calibration_offset).
+    """
+    rng = np.random.default_rng(seed)
+    pool = None
+    batch = None
+    for ids, dense, labels in raw:
+        if batch is None:
+            batch = len(labels)
+        keep = (labels > 0.5) | (rng.random(len(labels)) < keep_rate)
+        cols = (ids[keep], None if dense is None else dense[keep],
+                labels[keep])
+        pool = cols if pool is None else tuple(
+            None if c is None else np.concatenate([p, c])
+            for p, c in zip(pool, cols))
+        while len(pool[2]) >= batch:
+            yield tuple(None if c is None else c[:batch] for c in pool)
+            pool = tuple(None if c is None else c[batch:] for c in pool)
+
+
 def _raw_iterator(cfg: TrainConfig, process_index: int, process_count: int,
                   split: str = "train", repeat: bool = True):
+    it = _raw_iterator_inner(cfg, process_index, process_count,
+                             split=split, repeat=repeat)
+    r = cfg.data.neg_downsample
+    if split == "train" and 0.0 < r < 1.0:
+        # train stream only — eval/serving see the true distribution
+        it = downsampled_batches(it, r, seed=cfg.data.seed + process_index)
+    return it
+
+
+def _raw_iterator_inner(cfg: TrainConfig, process_index: int,
+                        process_count: int,
+                        split: str = "train", repeat: bool = True):
     d = cfg.data
     # path may be a file, a directory of files (full Criteo's
     # day_0..day_23), or a glob — readers.resolve_paths expands it

@@ -32,21 +32,28 @@ import jax.numpy as jnp
 from jax import export as jexport
 
 from cffm_tpu.config import TrainConfig
+from cffm_tpu.metrics import calibration_offset as _cal_offset
 
 _MAGIC = b"CFFM-EXPORT-v1\n"
 
 
 def scoring_fn(cfg: TrainConfig):
-    """(params, ids[, dense]) -> probabilities, pure-XLA path."""
+    """(params, ids[, dense]) -> probabilities, pure-XLA path.
+
+    Bakes in the negative-downsampling calibration offset
+    (metrics.calibration_offset) — the artifact serves the TRUE
+    distribution regardless of how the training stream was sampled."""
+    from cffm_tpu.metrics import calibration_offset
     from cffm_tpu.models.cffm import forward
 
     mcfg = cfg.model
+    cal = calibration_offset(cfg.data)
     if mcfg.num_dense > 0:
         def predict(params, ids, dense):
-            return jax.nn.sigmoid(forward(params, ids, dense, mcfg))
+            return jax.nn.sigmoid(forward(params, ids, dense, mcfg) + cal)
     else:
         def predict(params, ids):
-            return jax.nn.sigmoid(forward(params, ids, None, mcfg))
+            return jax.nn.sigmoid(forward(params, ids, None, mcfg) + cal)
     return predict
 
 
@@ -74,6 +81,7 @@ def save_artifact(path: str, blob: bytes, cfg: TrainConfig,
         "num_fields": cfg.model.num_fields,
         "num_dense": cfg.model.num_dense,
         "table_dtype": cfg.model.table_dtype,
+        "calibration_offset": _cal_offset(cfg.data),
         "step": step,
         "jax": jax.__version__,
     }

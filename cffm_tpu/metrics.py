@@ -60,6 +60,19 @@ def auc_exact(scores: jax.Array, labels: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def calibration_offset(data_cfg) -> float:
+    """Logit offset undoing train-time negative downsampling.
+
+    Training on a stream whose negatives were kept with probability r
+    inflates the model's odds by 1/r; adding ln(r) to the logit at
+    eval/serving restores calibration against the true distribution.
+    0.0 when no downsampling is configured."""
+    import math
+
+    r = float(getattr(data_cfg, "neg_downsample", 1.0))
+    return math.log(r) if 0.0 < r < 1.0 else 0.0
+
+
 def auc_state_init(num_bins: int = AUC_NUM_BINS) -> Dict[str, jax.Array]:
     return {
         "pos": jnp.zeros((num_bins,), jnp.float32),

@@ -263,6 +263,7 @@ def make_sharded_eval_step_2d(cfg: TrainConfig, mesh: Mesh,
         logits = model_lib.forward_from_rows(
             params, emb_rows, lin_rows, dense, mcfg,
             interaction_fn=interaction_fn)
+        logits = logits + metrics.calibration_offset(cfg.data)
         upd = metrics.auc_state_update(
             jax.tree.map(jnp.zeros_like, auc_state), logits, labels,
             mask=mask)

@@ -243,6 +243,7 @@ def make_sharded_eval_step(cfg: TrainConfig, mesh: Mesh, interaction_fn=None):
                                         out_dtype=jnp.float32).reshape(b_loc, f, 1)
         logits = model_lib.forward_from_rows(
             params, emb_rows, lin_rows, dense, mcfg, interaction_fn=interaction_fn)
+        logits = logits + metrics.calibration_offset(cfg.data)
         # each shard updates its local accumulator; merged via psum
         upd = metrics.auc_state_update(
             jax.tree.map(jnp.zeros_like, auc_state), logits, labels,

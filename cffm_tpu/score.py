@@ -46,10 +46,15 @@ def score(cfg: TrainConfig, num_batches: int = 0, output: Optional[str] = None,
 
     from cffm_tpu.models.cffm import forward
 
+    # +ln(neg_downsample): undo train-time negative-downsampling odds
+    # inflation (0 when not configured)
+    cal = metrics.calibration_offset(cfg.data)
+
     @jax.jit
     def predict(params, ids, dense):
         return jax.nn.sigmoid(
-            forward(params, ids, dense, cfg.model, interaction_fn=interaction_fn))
+            forward(params, ids, dense, cfg.model,
+                    interaction_fn=interaction_fn) + cal)
 
     out_fh = open(output, "w") if output else None
     auc_state = metrics.auc_state_init()

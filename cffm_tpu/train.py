@@ -155,6 +155,7 @@ def eval_step(state: TrainState, auc_state, ids, dense, labels, cfg: TrainConfig
               interaction_fn=None, mask=None):
     logits = model_lib.forward(state.params, ids, dense, cfg.model,
                                interaction_fn=interaction_fn)
+    logits = logits + metrics.calibration_offset(cfg.data)
     return metrics.auc_state_update(auc_state, logits, labels, mask=mask)
 
 
