@@ -98,7 +98,10 @@ class OptimizerConfig:
 
     dense_optimizer: str = "adam"  # "adam" | "adagrad" | "sgd"
     dense_lr: float = 1e-3
-    sparse_optimizer: str = "adagrad"  # "adagrad" | "adam" | "sgd"
+    # "adagrad" (row-scalar accumulator) | "adam" (full m/v) |
+    # "rowwise_adam" (full m, row-scalar v: Adam at half the state HBM)
+    # | "sgd"
+    sparse_optimizer: str = "adagrad"
     sparse_lr: float = 1e-2
     adagrad_init: float = 0.1  # initial accumulator value
     adam_b1: float = 0.9

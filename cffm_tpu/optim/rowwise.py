@@ -42,6 +42,16 @@ def rowwise_init(table: jax.Array, opt: OptimizerConfig) -> Dict:
             "v": jnp.zeros_like(table, jnp.float32),
             "t": jnp.zeros((), jnp.int32),
         }
+    if opt.sparse_optimizer == "rowwise_adam":
+        # Adam at half the state HBM: full first moment, row-SCALAR
+        # second moment (EMA of mean(g^2) per row, the same compression
+        # row-wise Adagrad uses). The production middle ground between
+        # Adagrad (no momentum) and full Adam (2x table in f32).
+        return {
+            "m": jnp.zeros_like(table, jnp.float32),
+            "v": jnp.zeros((v, 1), jnp.float32),
+            "t": jnp.zeros((), jnp.int32),
+        }
     if opt.sparse_optimizer == "sgd":
         return {}
     raise ValueError(opt.sparse_optimizer)
@@ -302,6 +312,33 @@ def rowwise_update(
         mhat = new_m[uids] / (1 - opt.adam_b1 ** t.astype(jnp.float32))
         vhat = new_v[uids] / (1 - opt.adam_b2 ** t.astype(jnp.float32))
         delta = jnp.where(valid[:, None], -lr * mhat / (jnp.sqrt(vhat) + opt.eps), 0.0)
+        new_table = _write_touched_rows(table, uids, uids_s, delta, opt, sr_key)
+        return new_table, {"m": new_m, "v": new_v, "t": t}
+
+    if opt.sparse_optimizer == "rowwise_adam":
+        t = state["t"] + 1
+        num_rows = table.shape[0]
+        # sentinel treatment identical to adam: invalid dedup-tail slots
+        # route out of bounds so untouched rows keep m/v bit-exactly
+        uids_s = jnp.where(valid, uids, num_rows)
+        gm = jnp.where(valid[:, None], g, 0.0)
+        new_m = state["m"].at[uids_s].multiply(
+            opt.adam_b1, mode="drop", unique_indices=True,
+            indices_are_sorted=True)
+        new_m = new_m.at[uids_s].add(
+            (1 - opt.adam_b1) * gm, mode="drop", unique_indices=True,
+            indices_are_sorted=True)
+        g2 = jnp.mean(gm * gm, axis=-1, keepdims=True)  # row-scalar v
+        new_v = state["v"].at[uids_s].multiply(
+            opt.adam_b2, mode="drop", unique_indices=True,
+            indices_are_sorted=True)
+        new_v = new_v.at[uids_s].add(
+            (1 - opt.adam_b2) * g2, mode="drop", unique_indices=True,
+            indices_are_sorted=True)
+        mhat = new_m[uids] / (1 - opt.adam_b1 ** t.astype(jnp.float32))
+        vhat = new_v[uids] / (1 - opt.adam_b2 ** t.astype(jnp.float32))
+        delta = jnp.where(valid[:, None],
+                          -lr * mhat / (jnp.sqrt(vhat) + opt.eps), 0.0)
         new_table = _write_touched_rows(table, uids, uids_s, delta, opt, sr_key)
         return new_table, {"m": new_m, "v": new_v, "t": t}
 

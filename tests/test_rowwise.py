@@ -133,3 +133,57 @@ def test_clip_applies_after_dedup_sum():
     new_table, _ = rowwise_update(table, {}, ids, jnp.asarray(g), opt)
     got = float(np.asarray(new_table)[3, 0])
     assert abs(got + 1.0) < 1e-5, got  # -lr * clipped(1.2 -> 1.0)
+
+
+def _ref_rowwise_adam(table, m, v, t, ids, grads, lr, b1, b2, eps):
+    tab, m, v = table.copy(), m.copy(), v.copy()
+    t = t + 1
+    uniq = {}
+    for i, g in zip(ids, grads):
+        if i < 0:
+            continue
+        uniq.setdefault(int(i), np.zeros(W, np.float32))
+        uniq[int(i)] += g
+    for i, g in uniq.items():
+        m[i] = b1 * m[i] + (1 - b1) * g
+        v[i, 0] = b2 * v[i, 0] + (1 - b2) * np.mean(g * g)
+        mhat = m[i] / (1 - b1 ** t)
+        vhat = v[i, 0] / (1 - b2 ** t)
+        tab[i] -= lr * mhat / (np.sqrt(vhat) + eps)
+    return tab, m, v
+
+
+def test_rowwise_adam_with_duplicates_and_sentinels():
+    rng = np.random.default_rng(7)
+    opt = OptimizerConfig(sparse_optimizer="rowwise_adam", sparse_lr=0.01)
+    table = rng.normal(size=(V, W)).astype(np.float32)
+    ids = rng.integers(0, V, size=100).astype(np.int32)
+    ids[::9] = -1
+    ids[10] = ids[11] = ids[12]
+    grads = rng.normal(size=(100, W)).astype(np.float32)
+
+    state = rowwise_init(jnp.asarray(table), opt)
+    # seed non-trivial m/v so the decay path is exercised
+    state["m"] = jnp.asarray(rng.normal(size=(V, W)).astype(np.float32))
+    state["v"] = jnp.asarray(
+        np.abs(rng.normal(size=(V, 1))).astype(np.float32))
+
+    new_table, new_state = rowwise_update(
+        jnp.asarray(table), state, jnp.asarray(ids), jnp.asarray(grads), opt)
+    want_t, want_m, want_v = _ref_rowwise_adam(
+        table, np.asarray(state["m"]), np.asarray(state["v"]), 0,
+        ids, grads, opt.sparse_lr, opt.adam_b1, opt.adam_b2, opt.eps)
+    np.testing.assert_allclose(np.asarray(new_table), want_t,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_state["m"]), want_m,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_state["v"]), want_v,
+                               rtol=1e-5, atol=1e-6)
+    # untouched rows (incl. row targets of sentinel slots) bit-exact
+    touched = np.zeros(V, bool)
+    touched[ids[ids >= 0]] = True
+    np.testing.assert_array_equal(np.asarray(new_state["m"])[~touched],
+                                  np.asarray(state["m"])[~touched])
+    np.testing.assert_array_equal(np.asarray(new_state["v"])[~touched],
+                                  np.asarray(state["v"])[~touched])
+    assert int(new_state["t"]) == 1
