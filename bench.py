@@ -265,12 +265,13 @@ def main(argv=None):
         timer.start()
 
     # Fallback ladder, not naive halving: after the first (largest)
-    # candidate the next rung is the known-good 32768 — halving 49152
-    # would land on 24576 and under-measure relative to the proven
-    # batch. The streamed sparse apply is batch-independent, so larger
-    # batches amortize it (docs/NEXT_EXPERIMENTS.md #1); 49152 is the
-    # projected +12-15% point that still fits HBM.
-    ladder = sorted({args.batch, 32768, 16384, 8192, 4096}, reverse=True)
+    # candidate the next rungs are the measured-good 49152 (306.9K
+    # ex/s/chip, f32, 2026-08-18) then 32768 — halving 65536 would
+    # land on rungs that under-measure relative to the proven batches.
+    # The streamed sparse apply is batch-independent, so larger batches
+    # amortize it (docs/NEXT_EXPERIMENTS.md #1).
+    ladder = sorted({args.batch, 49152, 32768, 16384, 8192, 4096},
+                    reverse=True)
     ladder = [b for b in ladder if b <= args.batch] or [args.batch]
     value = 0.0
     error = None
