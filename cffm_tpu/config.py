@@ -279,6 +279,11 @@ def _criteo_full() -> TrainConfig:
             embed_dim=16,
             cross="field_aware",
             num_dense=13,
+            # bf16 tables halve per-shard HBM + gather traffic; updates
+            # use stochastic rounding. Quality validated on silicon
+            # 2026-08-18: criteo flagship eval AUC 0.61865 (bf16) vs
+            # 0.61866 (f32); speed 338.7K vs 307.0K ex/s/chip.
+            table_dtype="bfloat16",
         ),
         data=DataConfig(dataset="criteo", batch_size=32768),
         sharding=ShardingConfig(table_sharded=True),

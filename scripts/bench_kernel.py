@@ -3,6 +3,9 @@ batch tiles on the real chip (RTT-corrected). Usage:
   python scripts/bench_kernel.py [--batch=32768] [--bts=128,256,512]
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import time
 

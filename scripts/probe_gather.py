@@ -10,6 +10,9 @@ Usage: python scripts/probe_gather.py [--rows=2600832] [--take=1277952]
        [--widths=128,320,640] [--dtype=float32,bfloat16]
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 import time

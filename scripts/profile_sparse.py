@@ -4,6 +4,9 @@ Usage: python scripts/profile_sparse.py <sub> [batch]
 Subs: sort gather segsum scatter scatter_dup update
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 
 

@@ -5,6 +5,9 @@ Stages: lookup fwd fwdbwd sparse full
 Run each stage in a fresh process (clean HBM) and compare.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import dataclasses
 import functools
 import sys

@@ -12,6 +12,9 @@ Prints one line per distinct HLO op >0.4 ms: device ms, op name,
 category, source file:line, truncated HLO.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import dataclasses
 import glob
 import gzip
