@@ -121,7 +121,7 @@ def _run_reader_fed(cfg, batch: int, prehashed: bool = False) -> float:
 
     from bench_input import _write_criteo
     from cffm_tpu.data.loader import make_dataset
-    from cffm_tpu.train import create_state, default_interaction_fn, train_step
+    from cffm_tpu.train import create_state, default_interaction_fn
     from cffm_tpu.utils.timing import measure_rtt
 
     n = 10
@@ -137,9 +137,12 @@ def _run_reader_fed(cfg, batch: int, prehashed: bool = False) -> float:
         cfg = dataclasses.replace(
             cfg, data=dataclasses.replace(
                 cfg.data, path=path, dataset="criteo",
-                shuffle=prehashed))
+                shuffle=prehashed, wire_format="packed"))
+        from cffm_tpu.data import wire as wire_lib
         from cffm_tpu.data.loader import device_prefetch
+        from cffm_tpu.train import train_step_wire
 
+        spec = wire_lib.spec_for_model(cfg.model)
         ds = make_dataset(cfg, prefetch=4)
         dev_ds = device_prefetch(
             ds, lambda x: None if x is None else jnp.asarray(x))
@@ -147,8 +150,8 @@ def _run_reader_fed(cfg, batch: int, prehashed: bool = False) -> float:
         state = create_state(cfg, jax.random.key(0))
 
         def one_step(state):
-            ids, dense, labels = next(dev_ds)
-            return train_step(state, ids, dense, labels, cfg, interaction_fn)
+            return train_step_wire(state, next(dev_ds), spec, cfg,
+                                   interaction_fn)
 
         state, _ = one_step(state)  # compile + warm the prefetch pipe
         rtt = measure_rtt()

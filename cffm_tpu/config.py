@@ -160,6 +160,13 @@ class DataConfig:
     # Parse worker threads for the native readers (the C++ parser
     # releases the GIL; >1 needed to feed >1M rows/s). 1 = single-thread.
     reader_threads: int = 4
+    # Host->device wire format for the TRAIN stream. "packed" ships
+    # ids as uint8/uint16(+bit-packed high bits), dense as float16 and
+    # labels as uint8 (data/wire.py) — ~2.2x fewer bytes over the
+    # bandwidth-bound H2D link (~54 MB/s on this rig, and transfers
+    # serialize with compute: scripts/probe_h2d.py). ids/labels are
+    # bit-exact; dense rounds to f16. "raw" ships int32/f32.
+    wire_format: str = "raw"
     seed: int = 0
 
 

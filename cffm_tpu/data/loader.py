@@ -196,8 +196,13 @@ def device_prefetch(batches: Iterator[dict], to_device, depth: int = 2):
             for b in batches:
                 if stop.is_set():
                     return
-                q.put((to_device(b["ids"]), to_device(b["dense"]),
-                       to_device(b["labels"])))
+                if "wire" in b:
+                    # packed wire batch (data/wire.py): stage each
+                    # component array; the jit'd step unpacks on device
+                    q.put({k: to_device(v) for k, v in b["wire"].items()})
+                else:
+                    q.put((to_device(b["ids"]), to_device(b["dense"]),
+                           to_device(b["labels"])))
         finally:
             q.put(None)
 
@@ -239,13 +244,26 @@ def make_dataset(
     for _ in range(skip_batches):
         next(raw)
 
-    def to_batch(item) -> Batch:
-        ids, dense, labels = item
-        return Batch(
-            ids=(ids + offsets).astype(np.int32),
-            dense=None if dense is None else dense.astype(np.float32),
-            labels=labels.astype(np.float32),
-        )
+    packed = cfg.data.wire_format == "packed" and split == "train" and repeat
+    if packed:
+        # Packed wire (data/wire.py): LOCAL ids in narrow dtypes; the
+        # jit'd step unpacks and applies field offsets on device. Only
+        # the repeat-mode train stream packs — eval streams may end
+        # with a partial batch and feed eval_step's raw signature.
+        from cffm_tpu.data import wire as wire_lib
+        spec = wire_lib.spec_for_model(cfg.model)
+
+        def to_batch(item) -> Batch:
+            ids, dense, labels = item
+            return Batch(wire=wire_lib.pack(ids, dense, labels, spec))
+    else:
+        def to_batch(item) -> Batch:
+            ids, dense, labels = item
+            return Batch(
+                ids=(ids + offsets).astype(np.int32),
+                dense=None if dense is None else dense.astype(np.float32),
+                labels=labels.astype(np.float32),
+            )
 
     if prefetch <= 0:
         return (to_batch(x) for x in raw)

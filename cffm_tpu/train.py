@@ -12,6 +12,7 @@ cffm_tpu/parallel/ and plugs in via the same TrainState contract.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import json
 import time
@@ -150,6 +151,24 @@ def train_step(
     return new_state, step_metrics
 
 
+@functools.partial(jax.jit, static_argnames=("spec", "cfg", "interaction_fn"),
+                   donate_argnums=(0,))
+def train_step_wire(state: TrainState, wire: dict, spec, cfg: TrainConfig,
+                    interaction_fn=None):
+    """train_step on a packed wire batch (data/wire.py): unpack the
+    narrow-dtype arrays and apply field offsets ON DEVICE, then run the
+    normal step. Exists because the H2D link is bandwidth-bound and
+    serializes with compute (scripts/probe_h2d.py) — shipping ~2.2x
+    fewer bytes is worth a few VPU shifts per batch."""
+    from cffm_tpu.data import wire as wire_lib
+
+    ids_local, dense, labels = wire_lib.unpack(wire, spec)
+    offs = jnp.asarray(model_lib.field_offsets(cfg.model),
+                       jnp.int32)[None, :]
+    return train_step(state, ids_local + offs, dense, labels, cfg,
+                      interaction_fn)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "interaction_fn"))
 def eval_step(state: TrainState, auc_state, ids, dense, labels, cfg: TrainConfig,
               interaction_fn=None, mask=None):
@@ -193,6 +212,17 @@ def run(cfg: TrainConfig, interaction_fn=None, log_fn=print) -> Dict:
 
     use_sharded = cfg.sharding.table_sharded and jax.device_count() > 1
     rng = jax.random.key(cfg.data.seed)
+    if cfg.data.wire_format == "packed" and use_sharded:
+        # packed wire is a single-process feed optimization today; the
+        # sharded steps take raw global batch arrays
+        log_fn(json.dumps({"warning": "wire_format=packed unsupported on "
+                           "the sharded path; using raw"}))
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, wire_format="raw"))
+    wire_spec = None
+    if cfg.data.wire_format == "packed":
+        from cffm_tpu.data import wire as wire_lib
+        wire_spec = wire_lib.spec_for_model(cfg.model)
 
     if use_sharded:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -351,9 +381,15 @@ def run(cfg: TrainConfig, interaction_fn=None, log_fn=print) -> Dict:
     examples = 0
     last_loss = float("nan")
     for step in range(start_step, cfg.data.num_train_steps):
-        ids, dense, labels = next(dev_ds)
-        state, m = step_fn(state, ids, dense, labels)
-        examples += int(labels.shape[0])
+        item = next(dev_ds)
+        if wire_spec is not None:
+            state, m = train_step_wire(state, item, wire_spec, cfg,
+                                       interaction_fn)
+            examples += int(item["labels"].shape[0])
+        else:
+            ids, dense, labels = item
+            state, m = step_fn(state, ids, dense, labels)
+            examples += int(labels.shape[0])
         if cfg.log_every and (step + 1) % cfg.log_every == 0:
             last_loss = float(m["loss"])
             elapsed = time.time() - t0

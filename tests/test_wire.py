@@ -1,0 +1,150 @@
+"""Packed wire format (data/wire.py): layout, roundtrip exactness, and
+train_step_wire equivalence with the raw-fed train_step."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from cffm_tpu.config import (DataConfig, ModelConfig, TrainConfig,
+                             get_config)
+from cffm_tpu.data import wire as wire_lib
+from cffm_tpu.models.cffm import field_offsets
+
+
+def tiny_train_cfg(**data_kw) -> TrainConfig:
+    return TrainConfig(
+        name="wiretest",
+        model=ModelConfig(
+            num_fields=6, vocab_sizes=(40, 200, 300, 70000, 100000, 64),
+            embed_dim=8, cross="field_aware", conv_channels=(16,),
+            tower_hidden=(32,), num_dense=3, compute_dtype="float32",
+            use_pallas=False,
+        ),
+        data=DataConfig(**{**dict(batch_size=64, num_train_steps=30,
+                                  eval_batches=4, seed=7), **data_kw}),
+        log_every=0,
+    )
+
+
+def _rand_batch(mcfg, b, seed=0):
+    rng = np.random.default_rng(seed)
+    ids = np.stack([rng.integers(0, v, size=b) for v in mcfg.vocab_sizes],
+                   axis=1).astype(np.int32)
+    dense = (rng.normal(size=(b, mcfg.num_dense)).astype(np.float32)
+             if mcfg.num_dense else None)
+    labels = (rng.random(b) < 0.3).astype(np.float32)
+    return ids, dense, labels
+
+
+def test_spec_layout_criteo():
+    mcfg = get_config("criteo_kaggle").model
+    spec = wire_lib.spec_for_model(mcfg)
+    # 13 quantized-dense fields (vocab 64) -> u8; 26 cats (100K) -> big
+    assert len(spec.u8_fields) == 13
+    assert len(spec.big_fields) == 26
+    assert spec.big_hi_bits == (1,) * 26  # 100_000 needs 17 bits
+    assert spec.hi_words == 1
+    # the whole point: far fewer bytes than the 212 B/row raw feed
+    assert spec.bytes_per_row() <= 100
+
+
+def test_roundtrip_ids_labels_exact():
+    mcfg = get_config("criteo_kaggle").model
+    spec = wire_lib.spec_for_model(mcfg)
+    ids, dense, labels = _rand_batch(mcfg, 257)
+    # force edge values: row 0 all zeros, row 1 all vocab-1 (max hi bits)
+    ids[0] = 0
+    ids[1] = np.asarray(mcfg.vocab_sizes, np.int32) - 1
+    w = pack_to_numpy(wire_lib.pack(ids, dense, labels, spec))
+    ids2, dense2, labels2 = jax.tree.map(
+        np.asarray, wire_lib.unpack(w, spec))
+    np.testing.assert_array_equal(ids2, ids)
+    np.testing.assert_array_equal(labels2, labels)
+    np.testing.assert_allclose(dense2, dense.astype(np.float16), rtol=0)
+
+
+def pack_to_numpy(w):
+    return {k: np.asarray(v) for k, v in w.items()}
+
+
+def test_roundtrip_wide_vocab():
+    # vocabs crossing every dtype class incl. a 20-bit and a 24-bit field
+    vocabs = (2, 256, 257, 65536, 65537, 1_000_000, 16_000_000)
+    spec = wire_lib.from_vocabs(vocabs, num_dense=0)
+    rng = np.random.default_rng(1)
+    ids = np.stack([rng.integers(0, v, size=64) for v in vocabs],
+                   axis=1).astype(np.int64)
+    ids[0] = np.asarray(vocabs) - 1
+    labels = np.ones(64, np.float32)
+    w = pack_to_numpy(wire_lib.pack(ids, None, labels, spec))
+    ids2, dense2, labels2 = wire_lib.unpack(w, spec)
+    np.testing.assert_array_equal(np.asarray(ids2), ids)
+    assert dense2 is None
+
+
+def test_train_step_wire_matches_raw():
+    """Same batch through train_step (raw) and train_step_wire must give
+    identical losses and parameters when dense survives f16 exactly."""
+    from cffm_tpu.train import (create_state, default_interaction_fn,
+                                train_step, train_step_wire)
+
+    cfg = tiny_train_cfg()
+    mcfg = cfg.model
+    spec = wire_lib.spec_for_model(mcfg)
+    ids, dense, labels = _rand_batch(mcfg, 64, seed=3)
+    if dense is not None:
+        dense = dense.astype(np.float16).astype(np.float32)  # f16-exact
+
+    fn = default_interaction_fn(cfg)
+    s_raw = create_state(cfg, jax.random.key(0))
+    s_wire = create_state(cfg, jax.random.key(0))
+
+    offs = field_offsets(mcfg)[None, :].astype(np.int32)
+    w = {k: jax.numpy.asarray(v)
+         for k, v in wire_lib.pack(ids, dense, labels, spec).items()}
+    s_raw, m_raw = train_step(s_raw, jax.numpy.asarray(ids + offs),
+                              None if dense is None
+                              else jax.numpy.asarray(dense),
+                              jax.numpy.asarray(labels), cfg, fn)
+    s_wire, m_wire = train_step_wire(s_wire, w, spec, cfg, fn)
+    assert float(m_raw["loss"]) == pytest.approx(float(m_wire["loss"]),
+                                                 abs=0.0)
+    for (p1, p2) in zip(jax.tree.leaves(s_raw.params),
+                        jax.tree.leaves(s_wire.params)):
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+
+def test_make_dataset_packed_stream():
+    """wire_format=packed yields wire batches the step can consume; the
+    synthetic train stream matches its raw twin example-for-example."""
+    from cffm_tpu.data.loader import make_dataset
+
+    cfg = tiny_train_cfg(batch_size=32, wire_format="packed")
+    cfg_raw = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, wire_format="raw"))
+    spec = wire_lib.spec_for_model(cfg.model)
+    offs = field_offsets(cfg.model)[None, :].astype(np.int32)
+
+    it_p = make_dataset(cfg, prefetch=0)
+    it_r = make_dataset(cfg_raw, prefetch=0)
+    for _ in range(3):
+        bp = next(it_p)
+        br = next(it_r)
+        assert "wire" in bp
+        ids, dense, labels = wire_lib.unpack(
+            {k: np.asarray(v) for k, v in bp["wire"].items()}, spec)
+        np.testing.assert_array_equal(np.asarray(ids) + offs, br["ids"])
+        np.testing.assert_array_equal(np.asarray(labels), br["labels"])
+
+
+def test_run_with_packed_wire_learns():
+    """End-to-end train.run on the packed wire path (synthetic tiny)."""
+    from cffm_tpu.train import run
+
+    cfg = tiny_train_cfg(wire_format="packed")
+    cfg = dataclasses.replace(cfg, log_every=10)
+    res = run(cfg, log_fn=lambda *_: None)
+    assert np.isfinite(res["final_train_loss"])
+    assert res["auc"] > 0.5
