@@ -36,7 +36,11 @@ def capture(config: str, batch: int, steps: int, log_dir: str) -> None:
 
     cfg = get_config(config)
     cfg = dataclasses.replace(
-        cfg, data=dataclasses.replace(cfg.data, batch_size=batch))
+        cfg, data=dataclasses.replace(cfg.data, batch_size=batch),
+        model=dataclasses.replace(
+            cfg.model,
+            table_dtype=_os.environ.get("CFFM_TABLE_DTYPE",
+                                        cfg.model.table_dtype)))
     mcfg = cfg.model
     rng = np.random.default_rng(0)
     ids = jnp.asarray(
