@@ -49,6 +49,8 @@ def _run_once(batch: int, feed: str = "staged",
         return _run_reader_fed(cfg, batch, prehashed=(feed == "prehashed"))
     if feed == "score":
         return _run_score(cfg, batch)
+    if feed == "sharded":
+        return _run_sharded(cfg, batch)
 
     rng = np.random.default_rng(0)
     ids_local = np.stack(
@@ -106,6 +108,55 @@ def _run_score(cfg, batch: int) -> float:
     rtt = measure_rtt()
     dt = device_time(score, state.params, ids, dense, n=10, rtt=rtt)
     return batch / dt
+
+
+def _run_sharded(cfg, batch: int) -> float:
+    """Row-sharded train step on a 1-device mesh (real chip).
+
+    This is the EXACT program the scaled configs run (SURVEY.md §4.1):
+    sort-based dedup (3 argsorts over B*F ids), capacity-bucket routing,
+    all-to-all x4 (no-op collectives at T=1 but the routing compute is
+    fully real), reverse grad exchange, and the per-shard row update.
+    The delta vs --feed=staged is the per-chip cost every device pays
+    at 8-way scale — the routed path's overhead measured on silicon."""
+    import dataclasses as _dc
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cffm_tpu.models.cffm import field_offsets
+    from cffm_tpu.parallel.mesh import make_mesh
+    from cffm_tpu.parallel.sharded_train import (create_sharded_state,
+                                                 make_sharded_train_step)
+    from cffm_tpu.train import default_interaction_fn
+    from cffm_tpu.utils.timing import measure_rtt
+
+    cfg = _dc.replace(
+        cfg, sharding=_dc.replace(cfg.sharding, table_sharded=True))
+
+    rng = np.random.default_rng(0)
+    ids_local = np.stack(
+        [rng.integers(0, v, size=batch) for v in cfg.model.vocab_sizes], axis=1
+    ).astype(np.int32)
+    ids = jnp.asarray(ids_local + field_offsets(cfg.model)[None, :].astype(np.int32))
+    dense = jnp.asarray(rng.normal(size=(batch, 13)), jnp.float32)
+    labels = jnp.asarray((rng.random(batch) < 0.3).astype(np.float32))
+
+    mesh = make_mesh(1)
+    state = create_sharded_state(cfg, jax.random.key(0), mesh)
+    step = make_sharded_train_step(cfg, mesh, default_interaction_fn(cfg))
+
+    state, _ = step(state, ids, dense, labels)
+    rtt = measure_rtt()
+
+    n = 10
+    t0 = time.time()
+    for _ in range(n):
+        state, m = step(state, ids, dense, labels)
+    _ = float(m["loss"])
+    total = time.time() - t0
+    return batch / (max(total - rtt, 1e-9) / n)
 
 
 def _run_reader_fed(cfg, batch: int, prehashed: bool = False) -> float:
@@ -226,7 +277,7 @@ def main(argv=None):
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--feed", choices=("staged", "reader", "prehashed",
-                                       "score"),
+                                       "score", "sharded"),
                     default="staged")
     ap.add_argument("--table_dtype", choices=("float32", "bfloat16"),
                     default="bfloat16",

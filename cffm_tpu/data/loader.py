@@ -180,13 +180,17 @@ def _raw_iterator_inner(cfg: TrainConfig, process_index: int,
 
 
 def device_prefetch(batches: Iterator[dict], to_device, depth: int = 2):
-    """Stage (ids, dense, labels) on device from a background thread.
+    """Stage batches on device from a background thread.
 
     jax puts are async-dispatched, but issuing them from the training
     loop still serializes transfer SETUP with step dispatch; a staging
     thread keeps `depth` device-resident batches ahead so the H2D
-    transfer fully overlaps the previous step's compute. Yields
-    (ids, dense, labels) device arrays.
+    transfer fully overlaps the previous step's compute.
+
+    Yield shape mirrors the input stream: (ids, dense, labels) device
+    tuples for raw batches, or the packed-wire dict (key "wire",
+    see data/wire.py) when the loader runs wire_format="packed" —
+    callers must key on the dict case, not assume tuples.
     """
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     stop = threading.Event()

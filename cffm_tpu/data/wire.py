@@ -75,7 +75,10 @@ def from_vocabs(vocab_sizes, num_dense: int = 0) -> WireSpec:
             u16.append(f)
         else:
             b = max(1, math.ceil(math.log2(v)) - 16)
-            assert b <= 16, f"field {f} vocab {v} too large for wire format"
+            # 15, not 16: ids are int32 everywhere downstream, so vocab
+            # must stay <= 2^31 — at 16 hi bits unpack's (h<<16)|lo
+            # would wrap negative and clip-gather to row 0 silently.
+            assert b <= 15, f"field {f} vocab {v} too large for wire format"
             # keep each field's hi bits inside one uint32 word so the
             # unpack is a single shift+mask (pad to the next word if a
             # straddle would occur)
@@ -118,11 +121,21 @@ def pack(ids_local: np.ndarray, dense: Optional[np.ndarray],
         for i in range(len(spec.big_fields)):
             word = spec.big_hi_offset[i] // 32
             shift = spec.big_hi_offset[i] % 32
-            hi[:, word] |= (bigs[:, i] >> 16) << np.uint32(shift)
+            # mask to the field's own hi width: an out-of-range id
+            # (e.g. a .cfb written with a larger-vocab config) must not
+            # OR stray bits into NEIGHBORING fields' words — contained
+            # corruption matches the raw path's clip-mode gather.
+            mask = np.uint32((1 << spec.big_hi_bits[i]) - 1)
+            hi[:, word] |= ((bigs[:, i] >> 16) & mask) << np.uint32(shift)
         out["hi"] = hi
     if spec.has_dense and dense is not None:
         out["dense"] = np.asarray(dense).astype(np.float16)
-    out["labels"] = np.asarray(labels).astype(np.uint8)
+    labels = np.asarray(labels)
+    # uint8 floors soft labels silently; the wire carries binary only.
+    assert labels.size == 0 or (
+        (labels == 0) | (labels == 1)).all(), \
+        "packed wire format carries binary labels only"
+    out["labels"] = labels.astype(np.uint8)
     return out
 
 

@@ -27,11 +27,16 @@ def field_offsets(cfg: ModelConfig) -> np.ndarray:
     return np.concatenate([[0], np.cumsum(cfg.vocab_sizes)[:-1]]).astype(np.int64)
 
 
-def init_params(key: jax.Array, cfg: ModelConfig) -> Dict:
+def init_params(key: jax.Array, cfg: ModelConfig, skip_tables: bool = False
+                ) -> Dict:
     """Initialize all parameters as a flat-ish pytree dict.
 
     Tables: N(0, 0.01) (FM-family convention). Conv/tower: He for
     ReLU layers, Glorot for the final logit layer.
+    skip_tables: omit the (vocab, W) tables — for sharded-state
+    creation, which re-draws them at padded size anyway (materializing
+    a throwaway multi-GB f32 table here put the transient HBM peak
+    over the top at criteo_full shapes).
     """
     keys = jax.random.split(key, 8)
     pdt = jnp.dtype(cfg.param_dtype)
@@ -40,14 +45,14 @@ def init_params(key: jax.Array, cfg: ModelConfig) -> Dict:
 
     # Tables are drawn in f32 then cast so a bf16 table is the rounding
     # of the f32 one (same seed => comparable init across table_dtype).
-    params["embed"] = {
+    params["embed"] = {} if skip_tables else {
         "table": (0.01 * jax.random.normal(
             keys[0], (cfg.total_vocab, cfg.table_width), dtype=jnp.float32)
         ).astype(tdt)
     }
     if cfg.use_first_order:
         params["linear"] = {"bias": jnp.zeros((), dtype=pdt)}
-        if not cfg.fused_linear:
+        if not cfg.fused_linear and not skip_tables:
             params["linear"]["table"] = (0.01 * jax.random.normal(
                 keys[1], (cfg.total_vocab, 1), dtype=jnp.float32)).astype(tdt)
 

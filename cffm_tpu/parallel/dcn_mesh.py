@@ -64,7 +64,7 @@ def create_sharded_state_2d(cfg: TrainConfig, rng: jax.Array,
     mcfg = cfg.model
     v_pad = _round_up(mcfg.total_vocab, c)
 
-    params = model_lib.init_params(rng, mcfg)
+    params = model_lib.init_params(rng, mcfg, skip_tables=True)
     k1, k2 = jax.random.split(rng)
     tdt = jnp.dtype(mcfg.table_dtype)
     table = (0.01 * jax.random.normal(k1, (v_pad, mcfg.table_width),
@@ -95,7 +95,11 @@ def create_sharded_state_2d(cfg: TrainConfig, rng: jax.Array,
             lambda x: jax.device_put(x, sharded if x.ndim == 2 else repl),
             rowwise_init(params["linear"]["table"], cfg.optim))
 
-    return TrainState(jnp.zeros((), jnp.int32), params, dense_opt_state, sparse)
+    # replicated ON THE MESH — a bare scalar's empty sharding differs
+    # from the step output's mesh-attached sharding and forces a full
+    # retrace+recompile on call #1 (see sharded_train.create_sharded_state).
+    step0 = jax.device_put(jnp.zeros((), jnp.int32), repl)
+    return TrainState(step0, params, dense_opt_state, sparse)
 
 
 def _dense_table_grad(row_ids, row_grads, vs: int):
@@ -120,7 +124,8 @@ def _local_step_2d(params, dense_opt_state, sparse_opt_state, step_no,
     table_local = params["embed"]["table"]
     flat_ids = ids.reshape(-1)
 
-    routing = se.build_routing(flat_ids, capacity, CHIP)  # ICI-only exchange
+    routing = se.build_routing(  # ICI-only exchange
+        flat_ids, capacity, CHIP, rows_per_shard=table_local.shape[0])
     rows = se.routed_lookup(table_local, routing, CHIP, out_dtype=cdt)
     emb_rows = rows.reshape(b_loc, f, w)
     separate_linear = mcfg.use_first_order and not mcfg.fused_linear
@@ -203,7 +208,9 @@ def make_sharded_train_step_2d(cfg: TrainConfig, mesh: Mesh,
     h, c = mesh.shape[HOST], mesh.shape[CHIP]
     b_glob = cfg.data.batch_size
     n_local = (b_glob // (h * c)) * cfg.model.num_fields
-    capacity = se.pick_capacity(n_local, c, cfg.sharding.id_capacity_factor)
+    v_pad = _round_up(cfg.model.total_vocab, c)
+    capacity = se.pick_capacity(n_local, c, cfg.sharding.id_capacity_factor,
+                                rows_per_shard=v_pad // c)
 
     body = functools.partial(_local_step_2d, cfg=cfg, capacity=capacity,
                              interaction_fn=interaction_fn)
@@ -244,14 +251,17 @@ def make_sharded_eval_step_2d(cfg: TrainConfig, mesh: Mesh,
     h, c = mesh.shape[HOST], mesh.shape[CHIP]
     b_glob = cfg.data.batch_size
     n_local = (b_glob // (h * c)) * cfg.model.num_fields
-    capacity = se.pick_capacity(n_local, c, cfg.sharding.id_capacity_factor)
+    v_pad = _round_up(cfg.model.total_vocab, c)
+    capacity = se.pick_capacity(n_local, c, cfg.sharding.id_capacity_factor,
+                                rows_per_shard=v_pad // c)
     mcfg = cfg.model
     both = (HOST, CHIP)
 
     def body(params, auc_state, ids, dense, labels, mask):
         b_loc, f = ids.shape
         cdt = jnp.dtype(mcfg.compute_dtype)
-        routing = se.build_routing(ids.reshape(-1), capacity, CHIP)
+        routing = se.build_routing(ids.reshape(-1), capacity, CHIP,
+                                   rows_per_shard=params["embed"]["table"].shape[0])
         emb_rows = se.routed_lookup(params["embed"]["table"], routing, CHIP,
                                     out_dtype=cdt).reshape(b_loc, f,
                                                            mcfg.table_width)

@@ -51,8 +51,8 @@ def create_sharded_state(cfg: TrainConfig, rng: jax.Array, mesh: Mesh) -> TrainS
     mcfg = cfg.model
     v_pad = _round_up(mcfg.total_vocab, t)
 
-    params = model_lib.init_params(rng, mcfg)
-    # re-create tables at padded size
+    params = model_lib.init_params(rng, mcfg, skip_tables=True)
+    # tables are created here directly at padded size
     k1, k2 = jax.random.split(rng)
     tdt = jnp.dtype(mcfg.table_dtype)
     table = (0.01 * jax.random.normal(k1, (v_pad, mcfg.table_width),
@@ -83,7 +83,15 @@ def create_sharded_state(cfg: TrainConfig, rng: jax.Array, mesh: Mesh) -> TrainS
             lambda x: jax.device_put(x, sharded) if x.ndim == 2 else jax.device_put(x, repl),
             rowwise_init(params["linear"]["table"], cfg.optim))
 
-    return TrainState(jnp.zeros((), jnp.int32), params, dense_opt_state, sparse)
+    # step counter replicated ON THE MESH: a bare jnp.zeros(()) carries
+    # an empty sharding, while the step output's counter (computed under
+    # jit with the mesh in scope) carries an Auto mesh sharding — the
+    # aval mismatch made call #1 retrace+recompile the entire program
+    # (~95s at criteo shapes, measured round 3: the whole "sharded path
+    # is 54x slower" mystery was this one recompile amortized over a
+    # 10-step bench loop).
+    step0 = jax.device_put(jnp.zeros((), jnp.int32), repl)
+    return TrainState(step0, params, dense_opt_state, sparse)
 
 
 def _local_step(params, dense_opt_state, sparse_opt_state, step_no,
@@ -104,7 +112,8 @@ def _local_step(params, dense_opt_state, sparse_opt_state, step_no,
         collective_probe(tag, AXIS, cfg.debug_barriers)
 
     dbg("routing-a2a:enter")
-    routing = se.build_routing(flat_ids, capacity, AXIS)
+    routing = se.build_routing(flat_ids, capacity, AXIS,
+                               rows_per_shard=table_local.shape[0])
     dbg("lookup-a2a:enter")
     rows = se.routed_lookup(table_local, routing, AXIS, out_dtype=cdt)
     dbg("lookup-a2a:exit")
@@ -187,7 +196,9 @@ def make_sharded_train_step(cfg: TrainConfig, mesh: Mesh, interaction_fn=None):
     t = mesh.devices.size
     b_glob = cfg.data.batch_size
     n_local = (b_glob // t) * cfg.model.num_fields
-    capacity = se.pick_capacity(n_local, t, cfg.sharding.id_capacity_factor)
+    v_pad = _round_up(cfg.model.total_vocab, t)
+    capacity = se.pick_capacity(n_local, t, cfg.sharding.id_capacity_factor,
+                                rows_per_shard=v_pad // t)
 
     body = functools.partial(_local_step, cfg=cfg, capacity=capacity,
                              interaction_fn=interaction_fn)
@@ -228,13 +239,16 @@ def make_sharded_eval_step(cfg: TrainConfig, mesh: Mesh, interaction_fn=None):
     t = mesh.devices.size
     b_glob = cfg.data.batch_size
     n_local = (b_glob // t) * cfg.model.num_fields
-    capacity = se.pick_capacity(n_local, t, cfg.sharding.id_capacity_factor)
+    v_pad = _round_up(cfg.model.total_vocab, t)
+    capacity = se.pick_capacity(n_local, t, cfg.sharding.id_capacity_factor,
+                                rows_per_shard=v_pad // t)
     mcfg = cfg.model
 
     def body(params, auc_state, ids, dense, labels, mask):
         b_loc, f = ids.shape
         cdt = jnp.dtype(mcfg.compute_dtype)
-        routing = se.build_routing(ids.reshape(-1), capacity, AXIS)
+        routing = se.build_routing(ids.reshape(-1), capacity, AXIS,
+                                   rows_per_shard=params["embed"]["table"].shape[0])
         emb_rows = se.routed_lookup(params["embed"]["table"], routing, AXIS,
                                     out_dtype=cdt).reshape(b_loc, f, mcfg.table_width)
         lin_rows = None

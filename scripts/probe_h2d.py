@@ -70,7 +70,6 @@ def main():
     b = jax.device_put(dense)
     jax.block_until_ready((r, a, b))
     both_t = time.time() - t0 - rtt
-    put_t = nbytes / 1e6 / 1000  # placeholder
     print(f"burn+2puts concurrent: {both_t*1e3:.1f} ms "
           f"(overlap if ~= burn alone)")
 
