@@ -235,6 +235,26 @@ def make_sharded_train_step(cfg: TrainConfig, mesh: Mesh, interaction_fn=None):
     return jax.jit(step, donate_argnums=(0,))
 
 
+def wrap_wire_step(step, wire_spec, mcfg):
+    """Jitted (state, wire_dict) variant of a raw sharded (state, ids,
+    dense, labels) step: unpack the packed wire batch (data/wire.py) and
+    apply field offsets ON DEVICE. The unpack is elementwise along the
+    batch axis, so P("data")-sharded wire arrays stay sharded and no
+    resharding happens before the shard_map. Shared by the flat and 2D
+    (DCN) sharded paths — this closes round 2's raw-downgrade gap where
+    the path that needs H2D bandwidth most shipped 2.2x the bytes."""
+    from cffm_tpu.data import wire as wire_lib
+    from cffm_tpu.models.cffm import field_offsets
+
+    offs = jnp.asarray(field_offsets(mcfg), jnp.int32)[None, :]
+
+    def wire_step(state: TrainState, wire: dict):
+        ids_local, dense, labels = wire_lib.unpack(wire, wire_spec)
+        return step(state, ids_local + offs, dense, labels)
+
+    return jax.jit(wire_step, donate_argnums=(0,))
+
+
 def make_sharded_eval_step(cfg: TrainConfig, mesh: Mesh, interaction_fn=None):
     t = mesh.devices.size
     b_glob = cfg.data.batch_size

@@ -212,13 +212,6 @@ def run(cfg: TrainConfig, interaction_fn=None, log_fn=print) -> Dict:
 
     use_sharded = cfg.sharding.table_sharded and jax.device_count() > 1
     rng = jax.random.key(cfg.data.seed)
-    if cfg.data.wire_format == "packed" and use_sharded:
-        # packed wire is a single-process feed optimization today; the
-        # sharded steps take raw global batch arrays
-        log_fn(json.dumps({"warning": "wire_format=packed unsupported on "
-                           "the sharded path; using raw"}))
-        cfg = dataclasses.replace(
-            cfg, data=dataclasses.replace(cfg.data, wire_format="raw"))
     wire_spec = None
     if cfg.data.wire_format == "packed":
         from cffm_tpu.data import wire as wire_lib
@@ -246,6 +239,9 @@ def run(cfg: TrainConfig, interaction_fn=None, log_fn=print) -> Dict:
             state = create_sharded_state(cfg, rng, mesh)
             step_fn = make_sharded_train_step(cfg, mesh, interaction_fn)
             eval_fn = make_sharded_eval_step(cfg, mesh, interaction_fn)
+        if wire_spec is not None:
+            from cffm_tpu.parallel.sharded_train import wrap_wire_step
+            wire_step_fn = wrap_wire_step(step_fn, wire_spec, cfg.model)
         if jax.process_count() > 1:
             # multi-host: assemble global batch arrays from per-host
             # shards (SPMD data path, SURVEY.md §4.1)
@@ -383,8 +379,11 @@ def run(cfg: TrainConfig, interaction_fn=None, log_fn=print) -> Dict:
     for step in range(start_step, cfg.data.num_train_steps):
         item = next(dev_ds)
         if wire_spec is not None:
-            state, m = train_step_wire(state, item, wire_spec, cfg,
-                                       interaction_fn)
+            if use_sharded:
+                state, m = wire_step_fn(state, item)
+            else:
+                state, m = train_step_wire(state, item, wire_spec, cfg,
+                                           interaction_fn)
             examples += int(item["labels"].shape[0])
         else:
             ids, dense, labels = item

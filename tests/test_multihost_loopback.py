@@ -35,7 +35,8 @@ cfg = TrainConfig(
         cross="field_aware", conv_channels=(8,), tower_hidden=(16,),
         compute_dtype="float32", use_pallas=False,
     ),
-    data=DataConfig(batch_size=256, num_train_steps=4, eval_batches=2, seed=0),
+    data=DataConfig(batch_size=256, num_train_steps=4, eval_batches=2, seed=0,
+                    wire_format=sys.argv[4]),
     sharding=ShardingConfig(table_sharded=True, table_axis=sys.argv[3]),
     log_every=1,
 )
@@ -47,10 +48,13 @@ print("WORKER_RESULT", int(sys.argv[2]), json.dumps(result), flush=True)
 
 @pytest.mark.skipif(os.environ.get("CFFM_SKIP_MULTIHOST") == "1",
                     reason="explicitly skipped")
-@pytest.mark.parametrize("table_axis", ["global", "intra_host"])
-def test_two_process_loopback(tmp_path, table_axis):
+@pytest.mark.parametrize("table_axis,wire_format",
+                         [("global", "packed"), ("intra_host", "raw")])
+def test_two_process_loopback(tmp_path, table_axis, wire_format):
     # "global": one flat 8-device axis, the lookup all-to-all crosses
-    # process boundaries. "intra_host": 2D (host=2, chip=4) DCN mesh —
+    # process boundaries — run with the PACKED wire feed so the
+    # multi-host make_array_from_process_local_data path over wire
+    # dicts is exercised. "intra_host": 2D (host=2, chip=4) DCN mesh —
     # tables sharded inside each process, table grads psum'd across
     # (parallel/dcn_mesh.py, SURVEY.md M5) — the real multi-host layout.
     port = _free_port()
@@ -64,7 +68,8 @@ def test_two_process_loopback(tmp_path, table_axis):
 
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), coord, str(i), table_axis],
+            [sys.executable, str(script), coord, str(i), table_axis,
+             wire_format],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
             text=True)
         for i in range(2)
