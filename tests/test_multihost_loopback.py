@@ -99,6 +99,95 @@ def test_two_process_loopback(tmp_path, table_axis, wire_format):
     assert r0["count"] == 2 * 256
 
 
+_RESUME_WORKER = r"""
+import os, sys, json
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=sys.argv[1],
+    num_processes=2,
+    process_id=int(sys.argv[2]),
+)
+import dataclasses
+from cffm_tpu.config import DataConfig, ModelConfig, ShardingConfig, TrainConfig
+from cffm_tpu import train
+
+steps = int(sys.argv[3])
+ckpt_dir = sys.argv[4]  # "" -> no checkpointing (the uninterrupted control)
+cfg = TrainConfig(
+    name="loopback_resume",
+    model=ModelConfig(
+        num_fields=4, vocab_sizes=(64, 64, 64, 64), embed_dim=8,
+        cross="field_aware", conv_channels=(8,), tower_hidden=(16,),
+        compute_dtype="float32", use_pallas=False,
+    ),
+    data=DataConfig(batch_size=256, num_train_steps=steps, eval_batches=2,
+                    seed=0),
+    sharding=ShardingConfig(table_sharded=True),
+    checkpoint_dir=ckpt_dir or None,
+    checkpoint_every=2,
+    log_every=1,
+)
+result = train.run(cfg, log_fn=lambda s: None)
+print("WORKER_RESULT", int(sys.argv[2]), json.dumps(result), flush=True)
+"""
+
+
+def test_two_process_checkpoint_resume(tmp_path):
+    """Multi-process orbax save of row-sharded state + resume: train 2
+    steps, save, RESTART both workers, resume to step 4 — the final
+    eval must be bit-identical to an uninterrupted 4-step run (exactly
+    where SPMD checkpoint bugs live; VERDICT r2 missing #5)."""
+    script = tmp_path / "worker.py"
+    script.write_text(_RESUME_WORKER)
+    ckpt = str(tmp_path / "ckpt")
+
+    # phase 1: 2 steps, checkpoint at step 2; phase 2: resume -> step 4
+    r_a = _run_pair(script, ["2", ckpt])
+    assert r_a[0]["final_train_loss"] == r_a[1]["final_train_loss"]
+    r_b = _run_pair(script, ["4", ckpt])
+    # control: uninterrupted 4 steps, no checkpointing
+    r_c = _run_pair(script, ["4", ""])
+    assert r_b[0]["logloss"] == r_c[0]["logloss"], (r_b, r_c)
+    assert r_b[0]["auc"] == r_c[0]["auc"], (r_b, r_c)
+    assert r_b[0]["final_train_loss"] == r_c[0]["final_train_loss"]
+
+
+def _run_pair(script, extra_args):
+    port = _free_port()
+    coord = f"localhost:{port}"
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), coord, str(i)] + extra_args,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("loopback workers timed out")
+        outs.append(out)
+    results = []
+    for i, out in enumerate(outs):
+        assert procs[i].returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
+        line = [l for l in out.splitlines() if l.startswith("WORKER_RESULT")]
+        assert line, out[-2000:]
+        import json as _json
+        results.append(_json.loads(line[0].split(" ", 2)[2]))
+    return results
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("localhost", 0))
