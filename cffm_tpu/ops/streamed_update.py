@@ -100,14 +100,22 @@ def supported(num_rows: int, width: int, m: int) -> bool:
             and padded_entries(m, r) * 4 <= MAX_RESIDENT_IDS_BYTES)
 
 
-def _kernel(lo_ref, hyper_ref, *refs, r: int, winb: int, adagrad: bool,
+def _kernel(lo_ref, hyper_ref, *refs, r: int, winb: int, mode: str,
             stochastic: bool, nt: int):
-    """refs: uids (M/EB, EB) i32 resident, g_0..g_{winb-1} (EB, W),
-    table_in (R, W), [acc_in (R, 1)], table_out (R, W), [acc_out (R, 1)]."""
+    """refs: uids (M/EB, EB) i32 resident, g_0..g_{winb-1} (EB, W), then
+    mode-dependent ins/outs:
+      sgd:          table_in | table_out
+      adagrad:      table_in, acc_in (R,1) | table_out, acc_out
+      rowwise_adam: table_in, m_in (R,W) f32, v_in (R,1) | table_out,
+                    m_out, v_out   (full first moment streams with the
+                    table; row-scalar second moment like adagrad)."""
     u_ref = refs[0]
     g_refs = refs[1 : 1 + winb]
-    if adagrad:
+    if mode == "adagrad":
         table_in, acc_in, table_out, acc_out = refs[1 + winb : 5 + winb]
+    elif mode == "rowwise_adam":
+        (table_in, m_in, v_in,
+         table_out, m_out, v_out) = refs[1 + winb : 7 + winb]
     else:
         table_in, table_out = refs[1 + winb : 3 + winb]
 
@@ -120,17 +128,39 @@ def _kernel(lo_ref, hyper_ref, *refs, r: int, winb: int, adagrad: bool,
 
     # One matmul pass: per-row summed gradient S (R, W) in f32.
     s = jnp.zeros((r, table_in.shape[1]), jnp.float32)
+    nmatch = jnp.zeros((r, 1), jnp.float32)
     for k in range(winb):
         u_k = u_ref[pl.ds(lo + k, 1), :]  # (1, EB) int32
         onehot_k = (u_k - base) == iota_r  # (R, EB)
         s = s + jax.lax.dot_general(
             onehot_k.astype(jnp.bfloat16), g_refs[k][...].astype(jnp.bfloat16),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        if mode == "rowwise_adam":
+            nmatch = nmatch + jnp.sum(onehot_k, axis=1, keepdims=True,
+                                      dtype=jnp.float32)
 
-    if adagrad:
+    if mode == "adagrad":
         acc_new = acc_in[...] + jnp.mean(s * s, axis=1, keepdims=True)
         acc_out[...] = acc_new
         delta = (-lr) * s / (jnp.sqrt(acc_new) + eps)
+    elif mode == "rowwise_adam":
+        # adagrad's S=0 => no-op identity does NOT hold for adam (decay
+        # would touch every row); mask to rows actually present in uids
+        # — exactly the scatter path's touched-row semantics.
+        touched = nmatch > 0
+        b1, b2, c1, c2 = (hyper_ref[2], hyper_ref[3], hyper_ref[4],
+                          hyper_ref[5])
+        m_new = jnp.where(touched, b1 * m_in[...] + (1.0 - b1) * s, m_in[...])
+        v_new = jnp.where(
+            touched,
+            b2 * v_in[...] + (1.0 - b2) * jnp.mean(s * s, axis=1,
+                                                   keepdims=True),
+            v_in[...])
+        m_out[...] = m_new
+        v_out[...] = v_new
+        delta = jnp.where(
+            touched,
+            (-lr) * (m_new * c1) / (jnp.sqrt(v_new * c2) + eps), 0.0)
     else:
         delta = (-lr) * s
     if table_in.dtype == jnp.bfloat16:
@@ -153,6 +183,37 @@ def _kernel(lo_ref, hyper_ref, *refs, r: int, winb: int, adagrad: bool,
         table_out[...] = table_in[...] + delta
 
 
+def streamed_rowwise_adam_apply(
+    table: jax.Array,
+    m: jax.Array,
+    v_state: jax.Array,
+    uids: jax.Array,
+    gsum: jax.Array,
+    lr: float | jax.Array,
+    eps: float | jax.Array,
+    b1: float,
+    b2: float,
+    t_step: jax.Array,
+    r: int | None = None,
+    interpret: bool | None = None,
+    sr_seed: jax.Array | None = None,
+):
+    """Streamed rowwise-Adam (optim.rowwise semantics): full first
+    moment m (V, W) f32 streams tile-for-tile with the table; second
+    moment v (V, 1) row-scalar. Rows absent from uids keep table/m/v
+    bit-exactly (touched-row mask from the one-hot match counts).
+    t_step: the POST-increment Adam timestep (state["t"] + 1), used for
+    bias correction. Returns (new_table, new_m, new_v)."""
+    t_f = t_step.astype(jnp.float32)
+    c1 = 1.0 / (1.0 - jnp.float32(b1) ** t_f)
+    c2 = 1.0 / (1.0 - jnp.float32(b2) ** t_f)
+    extra = jnp.stack([jnp.asarray(b1, jnp.float32),
+                       jnp.asarray(b2, jnp.float32), c1, c2])
+    return _streamed_apply(table, (m, v_state), uids, gsum, lr, eps,
+                           mode="rowwise_adam", extra_hyper=extra, r=r,
+                           interpret=interpret, sr_seed=sr_seed)
+
+
 def streamed_rowwise_apply(
     table: jax.Array,
     accum: jax.Array | None,
@@ -171,6 +232,30 @@ def streamed_rowwise_apply(
     sr_seed: int32 scalar enabling stochastic rounding for bf16 tables
     (None = round-to-nearest). Returns (new_table, new_accum).
     """
+    mode = "adagrad" if accum is not None else "sgd"
+    state = (accum,) if accum is not None else ()
+    out = _streamed_apply(table, state, uids, gsum, lr, eps, mode=mode,
+                          extra_hyper=None, r=r, interpret=interpret,
+                          sr_seed=sr_seed)
+    if accum is not None:
+        return out
+    return out[0], None
+
+
+def _streamed_apply(
+    table: jax.Array,
+    state_arrays: tuple,
+    uids: jax.Array,
+    gsum: jax.Array,
+    lr: float | jax.Array,
+    eps: float | jax.Array,
+    *,
+    mode: str,
+    extra_hyper: jax.Array | None,
+    r: int | None = None,
+    interpret: bool | None = None,
+    sr_seed: jax.Array | None = None,
+):
     if interpret is None:
         interpret = _auto_interpret()
     v, w = table.shape
@@ -178,7 +263,7 @@ def streamed_rowwise_apply(
     if r is None:
         r = pick_tile(v)
     assert r, f"table too small to stream: num_rows={v}"
-    adagrad = accum is not None
+    adagrad = mode == "adagrad"
     # Interpret mode (CPU tests) lacks the TPU PRNG primitives
     # (prng_seed has no CPU lowering), so bf16 tables round to nearest
     # there; the stochastic path is exercised on real silicon
@@ -209,6 +294,8 @@ def streamed_rowwise_apply(
 
     hyper = jnp.stack([jnp.asarray(lr, jnp.float32),
                        jnp.asarray(eps, jnp.float32)])
+    if extra_hyper is not None:
+        hyper = jnp.concatenate([hyper, extra_hyper])
     uids2d = uids.reshape(m_pad // EB, EB)
 
     uids_spec = pl.BlockSpec((m_pad // EB, EB),
@@ -230,14 +317,18 @@ def streamed_rowwise_apply(
     out_specs = [tile_spec]
     # alias keys count the scalar-prefetch operands (lo_blk, hyper)
     io_aliases = {3 + winb: 0}
-    if adagrad:
-        in_specs.append(acc_spec)
-        in_arrays.append(accum)
-        out_shape.append(jax.ShapeDtypeStruct((v, 1), accum.dtype))
-        out_specs.append(acc_spec)
-        io_aliases[4 + winb] = 1
+    # per-mode state arrays stream tile-for-tile, in/out aliased like
+    # the table: adagrad (V,1) accum; rowwise_adam (V,W) m + (V,1) v
+    state_specs = {"sgd": (), "adagrad": (acc_spec,),
+                   "rowwise_adam": (tile_spec, acc_spec)}[mode]
+    for i, (arr, spec) in enumerate(zip(state_arrays, state_specs)):
+        in_specs.append(spec)
+        in_arrays.append(arr)
+        out_shape.append(jax.ShapeDtypeStruct(arr.shape, arr.dtype))
+        out_specs.append(spec)
+        io_aliases[4 + winb + i] = 1 + i
 
-    kernel = functools.partial(_kernel, r=r, winb=winb, adagrad=adagrad,
+    kernel = functools.partial(_kernel, r=r, winb=winb, mode=mode,
                                stochastic=stochastic, nt=t_full)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -254,6 +345,4 @@ def streamed_rowwise_apply(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(lo_blk, hyper, *in_arrays)
-    if adagrad:
-        return outs[0], outs[1]
-    return outs[0], None
+    return tuple(outs)

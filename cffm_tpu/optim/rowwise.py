@@ -103,7 +103,10 @@ def _should_stream(table: jax.Array, opt: OptimizerConfig, n_ids: int,
     mode = getattr(opt, "streamed_update", "auto")
     if mode == "off":
         return False
-    if opt.sparse_optimizer not in ("adagrad", "sgd"):
+    # rowwise_adam streams too: full m rides tile-for-tile with the
+    # table, row-scalar v like adagrad's accumulator. Full adam (m AND
+    # v table-shaped) stays on the exact-f32 scatter path.
+    if opt.sparse_optimizer not in ("adagrad", "sgd", "rowwise_adam"):
         return False
     v, w = table.shape
     if w % 128 != 0 or table.dtype not in (jnp.float32, jnp.bfloat16):
@@ -267,6 +270,15 @@ def rowwise_update(
                 table, state["accum"], uids_s, g, lr, opt.eps, r=r,
                 sr_seed=seed)
             return new_table, {"accum": new_accum}
+        if opt.sparse_optimizer == "rowwise_adam":
+            from cffm_tpu.ops.streamed_update import (
+                streamed_rowwise_adam_apply)
+
+            t = state["t"] + 1
+            new_table, new_m, new_v = streamed_rowwise_adam_apply(
+                table, state["m"], state["v"], uids_s, g, lr, opt.eps,
+                opt.adam_b1, opt.adam_b2, t, r=r, sr_seed=seed)
+            return new_table, {"m": new_m, "v": new_v, "t": t}
         new_table, _ = streamed_rowwise_apply(
             table, None, uids_s, g, lr, opt.eps, r=r, sr_seed=seed)
         return new_table, state

@@ -37,7 +37,7 @@ def _run(opt, table, ids, grads):
                           jnp.asarray(grads), opt)
 
 
-@pytest.mark.parametrize("optimizer", ["adagrad", "sgd"])
+@pytest.mark.parametrize("optimizer", ["adagrad", "sgd", "rowwise_adam"])
 def test_streamed_matches_scatter_path(optimizer):
     table, ids, grads = _mk(0)
     on = OptimizerConfig(sparse_optimizer=optimizer, sparse_lr=0.05,
@@ -65,6 +65,20 @@ def test_streamed_matches_scatter_path(optimizer):
         np.testing.assert_array_equal(
             np.asarray(s_on["accum"])[~touched],
             np.full((int((~touched).sum()), 1), on.adagrad_init, np.float32))
+    if optimizer == "rowwise_adam":
+        # m/v derive from bf16-rounded gradient sums: ~1% relative, and
+        # duplicate-row sums can CANCEL (tiny totals from O(0.1) grads),
+        # so allow the bf16 ulp of the inputs as absolute slack;
+        # untouched rows keep m == v == 0 bit-exactly (no decay leak)
+        np.testing.assert_allclose(np.asarray(s_on["m"]),
+                                   np.asarray(s_off["m"]),
+                                   rtol=1e-2, atol=3e-4)
+        np.testing.assert_allclose(np.asarray(s_on["v"]),
+                                   np.asarray(s_off["v"]),
+                                   rtol=1e-2, atol=1e-7)
+        assert int(s_on["t"]) == int(s_off["t"]) == 1
+        np.testing.assert_array_equal(np.asarray(s_on["m"])[~touched], 0.0)
+        np.testing.assert_array_equal(np.asarray(s_on["v"])[~touched], 0.0)
 
 
 def test_streamed_all_sentinels_is_noop():
