@@ -9,6 +9,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cffm_tpu.config import (DataConfig, ModelConfig, OptimizerConfig,
                              TrainConfig)
@@ -39,6 +40,7 @@ def _cfg():
     )
 
 
+@pytest.mark.slow
 def test_fastpath_training_learns_planted_signal():
     cfg = _cfg()
     mcfg = cfg.model

@@ -133,6 +133,7 @@ def test_make_dataset_val_split_differs_and_skip_batches():
     np.testing.assert_array_equal(third["ids"], next(b)["ids"])
 
 
+@pytest.mark.slow
 def test_full_pass_eval_covers_entire_val_split(tmp_path):
     """eval_batches=0 on a real dataset: run() evaluates EVERY held-out
     example exactly once (partial tail included via masked padding) —
@@ -175,6 +176,7 @@ def test_full_pass_eval_covers_entire_val_split(tmp_path):
     assert np.isfinite(res["logloss"])
 
 
+@pytest.mark.slow
 def test_full_pass_eval_pads_partial_tail(tmp_path, monkeypatch):
     """Full-pass eval through the python TSV reader: the flushed
     partial tail batch pads to the static shape with mask=0 rows, so

@@ -101,6 +101,7 @@ def test_odd_shapes_padding():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_full_rows_forward_and_grad_parity():
     """cross_conv1_lin_pallas on raw physical rows (lane-padded, fused
     first-order column): forward and lin match the reference; the

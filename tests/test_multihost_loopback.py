@@ -10,6 +10,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 _WORKER = r"""
 import os, sys, json
 os.environ["JAX_PLATFORMS"] = "cpu"

@@ -74,6 +74,7 @@ def test_debug_barriers_probe_and_preserve_results(capfd):
         np.asarray(s_off.params["embed"]["table"]))
 
 
+@pytest.mark.slow
 def test_scalar_writer_writes_event_files(tmp_path):
     tf = pytest.importorskip("tensorflow")
     from cffm_tpu.utils.tb import ScalarWriter

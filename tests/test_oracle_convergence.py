@@ -4,6 +4,7 @@ same init, same batch stream, independent implementations + optimizers
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from cffm_tpu import metrics, train as train_lib
@@ -11,6 +12,8 @@ from cffm_tpu.config import DataConfig, ModelConfig, OptimizerConfig, TrainConfi
 from cffm_tpu.data.synthetic import SyntheticCTR
 from cffm_tpu.models.cffm import field_offsets
 from oracle.torch_cffm import forward_numpy, train_oracle
+
+pytestmark = pytest.mark.slow
 
 
 def _cfg():

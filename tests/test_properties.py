@@ -2,6 +2,7 @@
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 from hypothesis import given, settings, strategies as st
 
@@ -9,6 +10,8 @@ from cffm_tpu.config import ModelConfig, OptimizerConfig
 from cffm_tpu.data.hashing import bucketize_log2, hash_strings
 from cffm_tpu.ops.cross import build_cross_map, pair_indices
 from cffm_tpu.optim.rowwise import _dedup_sum
+
+pytestmark = pytest.mark.slow
 
 
 @given(st.lists(st.binary(min_size=0, max_size=12), min_size=1, max_size=50),
