@@ -203,3 +203,120 @@ def sorted_segment_sum_compact(
     c = uout[:, :NCOMP].astype(jnp.int32)
     uids = (c[:, 0] + (c[:, 1] << 8) + (c[:, 2] << 16) + (c[:, 3] << 24)) - 1
     return uids, gsum, count
+
+
+def _kernel_seg(ob_ref, seg_ref, g_ref, gout_ref, acc, carry, *, g_real: int):
+    """Rider-free twin of _kernel: segment sums only, no uid columns.
+    Same carry/sweep protocol; see _kernel for the invariants."""
+    i = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+    ob = ob_ref[i]
+    prev = ob_ref[jnp.maximum(i - 1, 0)]
+    nxt = ob_ref[jnp.minimum(i + 1, nsteps - 1)]
+    is_first = (i == 0) | (ob != prev)
+    from_carry = (i > 0) & (ob == prev + 1)
+    is_last = (i == nsteps - 1) | (nxt != ob)
+    real = i < g_real
+
+    @pl.when(is_first & from_carry)
+    def _():
+        acc[...] = carry[...]
+
+    @pl.when(is_first & jnp.logical_not(from_carry))
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    @pl.when(is_first)
+    def _():
+        carry[...] = jnp.zeros_like(carry)
+
+    @pl.when(real)
+    def _():
+        seg_blk = seg_ref[pl.ds(i, 1), :]
+        local = seg_blk - ob * EB
+        g = g_ref[...]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (EB, EB), 0)
+        o1 = (local == iota).astype(jnp.bfloat16)
+        o2 = ((local - EB) == iota).astype(jnp.bfloat16)
+        dims = (((1,), (0,)), ((), ()))
+        acc[...] = acc[...] + jax.lax.dot_general(
+            o1, g, dims, preferred_element_type=jnp.float32)
+        carry[...] = carry[...] + jax.lax.dot_general(
+            o2, g, dims, preferred_element_type=jnp.float32)
+
+    @pl.when(is_last)
+    def _():
+        gout_ref[...] = acc[...].astype(gout_ref.dtype)
+
+
+def sorted_segment_sum_by_seg(
+    seg: jax.Array,
+    sorted_grads: jax.Array,
+    m_pad: int,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Compact segment sums for an ALREADY-SEGMENTED sorted stream.
+
+    seg (n,) int32: non-decreasing segment index starting at 0 and
+    advancing by <= 1 (exactly build_routing's `seg`). sorted_grads
+    (n, W) bf16 in the same order, W a multiple of 128. m_pad: static
+    output slot count (multiple of EB) bounding the segment count.
+    Returns gsum (m_pad, W) bf16 with segment k's f32-accumulated total
+    at slot k (one bf16 rounding at flush, same class as
+    sorted_segment_sum_compact).
+
+    This is the dedup-sum of the sharded gradient-return path
+    (parallel/sharded_embedding.grad_return): the XLA segment_sum it
+    replaces materialized an (n, W) f32 buffer through a scatter-add —
+    measured 80.9 ms at criteo bench shapes (n=2.56M, W=640) vs ~19 ms
+    for this kernel (scripts/trace_sharded.py, 2026-08-20).
+    """
+    if interpret is None:
+        interpret = _auto_interpret()
+    n, w = sorted_grads.shape
+    assert w % 128 == 0 and m_pad % EB == 0
+    assert sorted_grads.dtype == jnp.bfloat16
+    if n % EB:
+        pad = EB - n % EB
+        seg = jnp.concatenate([seg, jnp.broadcast_to(seg[-1], (pad,))])
+        sorted_grads = jnp.concatenate(
+            [sorted_grads, jnp.zeros((pad, w), sorted_grads.dtype)])
+        n = n + pad
+    g_real = n // EB
+    m_blocks = m_pad // EB
+
+    seg2d = seg.reshape(g_real, EB)
+    sweep = jnp.minimum(
+        seg[-1] + jnp.arange(m_blocks, dtype=jnp.int32) * EB,
+        (m_blocks - 1) * EB)
+    seg2d = jnp.concatenate(
+        [seg2d, jnp.broadcast_to(sweep[:, None], (m_blocks, EB))])
+    g_total = g_real + m_blocks
+    ob = (seg2d[:, 0] // EB).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(g_total,),
+        in_specs=[
+            pl.BlockSpec((g_total, EB), lambda i, ob_ref: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((EB, w),
+                         lambda i, ob_ref: (jnp.minimum(i, g_real - 1), 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((EB, w), lambda i, ob_ref: (ob_ref[i], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((EB, w), jnp.float32),
+                        pltpu.VMEM((EB, w), jnp.float32)],
+    )
+    (gsum,) = pl.pallas_call(
+        functools.partial(_kernel_seg, g_real=g_real),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((m_pad, w), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(ob, seg2d, sorted_grads)
+    return gsum

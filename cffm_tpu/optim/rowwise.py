@@ -198,6 +198,7 @@ def rowwise_update(
     max_unique: int | None = None,
     field_offsets=None,
     mask_sentinels: bool = True,
+    sentinel_grads_zero: bool = False,
     sr_key=None,
 ) -> Tuple[jax.Array, Dict]:
     """Apply a sparse per-row update. row_ids (N,), grads (N, W).
@@ -212,6 +213,10 @@ def rowwise_update(
     mask_sentinels: pass False when the caller guarantees row_ids >= 0
     (the single-host data layer hashes ids in-range) — skips a full
     zeroing pass over grads (measured 5 ms on the 1.6 GB grad block).
+    sentinel_grads_zero: pass True when sentinel (id < 0) rows are
+    guaranteed to carry exact-zero grads already (the sharded
+    grad_return's empty exchange slots are zeros-initialized) — keeps
+    the id remap but skips the same full-width zeroing pass.
     sr_key: rng key for stochastic rounding into bf16 tables (required
     when table.dtype is bfloat16 and opt.table_rounding="stochastic";
     unused for f32 tables).
@@ -227,8 +232,9 @@ def rowwise_update(
         # still decay Adam's m/v and perturb the table, so sentinels must
         # never form a real segment. mode="drop" scatters discard them.
         safe_ids = jnp.where(sentinel_ok, row_ids, table.shape[0])
-        grads = jnp.where(sentinel_ok[:, None], grads,
-                          jnp.zeros((), grads.dtype))
+        if not sentinel_grads_zero:
+            grads = jnp.where(sentinel_ok[:, None], grads,
+                              jnp.zeros((), grads.dtype))
     else:
         safe_ids = row_ids
 

@@ -35,7 +35,7 @@ from cffm_tpu.config import TrainConfig
 from cffm_tpu.models import cffm as model_lib
 from cffm_tpu.optim.rowwise import (dense_rowwise_apply, make_dense_optimizer,
                                     scale_updates, schedule_factor, sr_keys,
-                                    rowwise_init)
+                                    rowwise_init, unique_bound)
 from cffm_tpu.parallel import sharded_embedding as se
 from cffm_tpu.train import TrainState, merge_dense_params, split_dense_params
 
@@ -124,14 +124,20 @@ def _local_step_2d(params, dense_opt_state, sparse_opt_state, step_no,
     table_local = params["embed"]["table"]
     flat_ids = ids.reshape(-1)
 
+    batch_unique = unique_bound(mcfg.vocab_sizes, b_loc)
+    no_ovf = capacity >= min(flat_ids.shape[0], batch_unique)
     routing = se.build_routing(  # ICI-only exchange
-        flat_ids, capacity, CHIP, rows_per_shard=table_local.shape[0])
-    rows = se.routed_lookup(table_local, routing, CHIP, out_dtype=cdt)
+        flat_ids, capacity, CHIP, rows_per_shard=table_local.shape[0],
+        max_unique=batch_unique)
+    rows = se.routed_lookup(table_local, routing, CHIP, out_dtype=cdt,
+                            assume_no_overflow=no_ovf)
     emb_rows = rows.reshape(b_loc, f, w)
     separate_linear = mcfg.use_first_order and not mcfg.fused_linear
     if separate_linear:
         lin_rows = se.routed_lookup(params["linear"]["table"], routing, CHIP,
-                                    out_dtype=jnp.float32).reshape(b_loc, f, 1)
+                                    out_dtype=jnp.float32,
+                                    assume_no_overflow=no_ovf
+                                    ).reshape(b_loc, f, 1)
     else:
         lin_rows = None
 
@@ -166,7 +172,8 @@ def _local_step_2d(params, dense_opt_state, sparse_opt_state, step_no,
     # sparse: ICI grad return within the host, then one dense shard-grad
     # psum across hosts so every replica applies the global update
     vs = table_local.shape[0]
-    row_ids, row_grads = se.grad_return(demb.reshape(-1, w), routing, CHIP)
+    row_ids, row_grads = se.grad_return(demb.reshape(-1, w), routing, CHIP,
+                                        max_unique=batch_unique)
     g_dense = jax.lax.psum(_dense_table_grad(row_ids, row_grads, vs), HOST)
     new_sparse = dict(sparse_opt_state)
     sk_emb, sk_lin = sr_keys(mcfg.table_dtype, cfg.optim, step_no,
@@ -185,7 +192,8 @@ def _local_step_2d(params, dense_opt_state, sparse_opt_state, step_no,
     new_params = dict(new_params, embed={"table": new_table})
     if separate_linear:
         lrow_ids, lrow_grads = se.grad_return(
-            dlin.reshape(-1, 1).astype(jnp.float32), routing, CHIP)
+            dlin.reshape(-1, 1).astype(jnp.float32), routing, CHIP,
+            max_unique=batch_unique)
         gl_dense = jax.lax.psum(_dense_table_grad(lrow_ids, lrow_grads, vs), HOST)
         new_lin, new_sparse["linear"] = dense_rowwise_apply(
             params["linear"]["table"], sparse_opt_state["linear"], gl_dense,
@@ -210,7 +218,9 @@ def make_sharded_train_step_2d(cfg: TrainConfig, mesh: Mesh,
     n_local = (b_glob // (h * c)) * cfg.model.num_fields
     v_pad = _round_up(cfg.model.total_vocab, c)
     capacity = se.pick_capacity(n_local, c, cfg.sharding.id_capacity_factor,
-                                rows_per_shard=v_pad // c)
+                                rows_per_shard=v_pad // c,
+                                max_unique=unique_bound(
+                                    cfg.model.vocab_sizes, b_glob // (h * c)))
 
     body = functools.partial(_local_step_2d, cfg=cfg, capacity=capacity,
                              interaction_fn=interaction_fn)
@@ -252,19 +262,24 @@ def make_sharded_eval_step_2d(cfg: TrainConfig, mesh: Mesh,
     b_glob = cfg.data.batch_size
     n_local = (b_glob // (h * c)) * cfg.model.num_fields
     v_pad = _round_up(cfg.model.total_vocab, c)
+    eval_unique = unique_bound(cfg.model.vocab_sizes, b_glob // (h * c))
     capacity = se.pick_capacity(n_local, c, cfg.sharding.id_capacity_factor,
-                                rows_per_shard=v_pad // c)
+                                rows_per_shard=v_pad // c,
+                                max_unique=eval_unique)
     mcfg = cfg.model
     both = (HOST, CHIP)
 
     def body(params, auc_state, ids, dense, labels, mask):
         b_loc, f = ids.shape
         cdt = jnp.dtype(mcfg.compute_dtype)
+        no_ovf = capacity >= min(ids.size, eval_unique)
         routing = se.build_routing(ids.reshape(-1), capacity, CHIP,
-                                   rows_per_shard=params["embed"]["table"].shape[0])
+                                   rows_per_shard=params["embed"]["table"].shape[0],
+                                   max_unique=eval_unique)
         emb_rows = se.routed_lookup(params["embed"]["table"], routing, CHIP,
-                                    out_dtype=cdt).reshape(b_loc, f,
-                                                           mcfg.table_width)
+                                    out_dtype=cdt, assume_no_overflow=no_ovf
+                                    ).reshape(b_loc, f,
+                                              mcfg.table_width)
         lin_rows = None
         if mcfg.use_first_order and not mcfg.fused_linear:
             lin_rows = se.routed_lookup(params["linear"]["table"], routing,

@@ -41,10 +41,10 @@ class Routing(NamedTuple):
 
     order: jax.Array        # (n,) argsort of flat ids (by storage-row key)
     seg: jax.Array          # (n,) segment id of each sorted position
-    k_of_pos: jax.Array     # (n,) unique-slot index of each ORIGINAL position
-    owner_k: jax.Array      # (n,) owning shard of unique id k (t if !valid)
-    rank_k: jax.Array       # (n,) slot within the (owner) bucket
-    valid_k: jax.Array      # (n,) bool: k < n_unique and rank < capacity
+    idx_of_pos: jax.Array   # (n,) exchange slot of each ORIGINAL position,
+                            #      or -1 (capacity overflow)
+    slot_k: jax.Array       # (n,) exchange slot owner*C+rank of unique id k,
+                            #      or -1 (k >= n_unique / capacity overflow)
     recv_ids: jax.Array     # (T, C) local row ids this shard must serve
     recv_valid: jax.Array   # (T, C) bool mask of served slots
     overflow: jax.Array     # () int32: unique ids dropped (capacity overflow)
@@ -55,7 +55,8 @@ def _axis_size(axis: str) -> jax.Array:
 
 
 def build_routing(ids_flat: jax.Array, capacity: int, axis: str,
-                  rows_per_shard: int | None = None) -> Routing:
+                  rows_per_shard: int | None = None,
+                  max_unique: int | None = None) -> Routing:
     """Dedup + bucket-by-owner + all-to-all ID exchange. Per-shard view.
 
     ids_flat: (n,) int32 global ids of this shard's batch.
@@ -63,6 +64,12 @@ def build_routing(ids_flat: jax.Array, capacity: int, axis: str,
     rows_per_shard: the peers' local table row count Vs (v_pad // t).
     Optional — without it a conservative 2^31/t key stride is used —
     but passing it keeps the sort key dense.
+    max_unique: optional static bound on the distinct-id count of
+    ids_flat (optim.rowwise.unique_bound). When capacity provably
+    covers it (no overflow possible), the send scatters keep the
+    indices_are_sorted fast path; otherwise overflowed ks interleave
+    out-of-bounds positions between ascending valid slots and the
+    sorted hint would be a lie (implementation-defined results).
 
     ONE sort, not two: the key is the mod-sharded STORAGE row
     (owner * Vs + local_row — exactly to_mod_sharded's layout), so a
@@ -98,31 +105,48 @@ def build_routing(ids_flat: jax.Array, capacity: int, axis: str,
     send_ok = k_valid & in_cap
     overflow = jnp.sum(k_valid & ~in_cap).astype(jnp.int32)
 
+    # signed exchange slot per unique k: one int32 array serves the
+    # lookup's position gather AND the grad return's scatter positions
+    # (replaces the separate owner_k/rank_k/valid_k arrays — the old
+    # bool valid_k cost a second 2.56M-wide gather in routed_lookup,
+    # measured 20.6 ms at criteo bench shapes).
+    slot_k = jnp.where(send_ok, owner * capacity + rank, -1).astype(jnp.int32)
+
     # ---- assemble send buffer of LOCAL row ids (T, C) ----
     # send positions owner*C + rank strictly increase over valid k ->
     # sorted unique scatter; invalid -> out of bounds, dropped.
+    sorted_hint = capacity >= min(n, max_unique or n)
     send_pos = jnp.where(send_ok, owner * capacity + rank, t * capacity)
     send_buf = jnp.full((t * capacity,), -1, jnp.int32).at[send_pos].set(
         local_row.astype(jnp.int32), mode="drop", unique_indices=True,
-        indices_are_sorted=True).reshape(t, capacity)
+        indices_are_sorted=sorted_hint).reshape(t, capacity)
 
     # ---- exchange: shard s receives the rows peers want from it ----
     recv_ids = jax.lax.all_to_all(send_buf, axis, 0, 0, tiled=False)
     recv_valid = recv_ids >= 0
 
-    # inverse permutation -> unique-slot index per ORIGINAL position
-    # (int32 scatter + gather; lets the lookup finish with ONE wide row
-    # gather instead of a row gather + full-width row scatter).
-    inv = jnp.zeros((n,), jnp.int32).at[order].set(pos)
-    k_of_pos = jnp.take(seg, inv)
+    # exchange slot per ORIGINAL position, GATHER-FREE: the slot is
+    # recomputed elementwise in sorted-position space (owner from the
+    # sorted key, rank = seg minus the owner run's first seg via a
+    # cummax forward-fill), then ONE int-pair sort inverts the
+    # permutation. Every indexed formulation measured latency-bound at
+    # criteo bench shapes: scatter+gather 22+18 ms, take(slot_k, seg)
+    # 49.6 ms (XLA refused to materialize slot_k and recomputed the
+    # searchsorted per element); this is elementwise + a ~5 ms sort.
+    owner_pos = (sk // stride).astype(jnp.int32)
+    run_first = jnp.concatenate(
+        [jnp.ones((1,), bool), owner_pos[1:] != owner_pos[:-1]])
+    seg_run_start = jax.lax.cummax(jnp.where(run_first, seg, 0))
+    rank_pos = seg - seg_run_start
+    slot_of_sorted = jnp.where(rank_pos < capacity,
+                               owner_pos * capacity + rank_pos, -1)
+    _, idx_of_pos = jax.lax.sort_key_val(order, slot_of_sorted)
 
     return Routing(
         order=order.astype(jnp.int32),
         seg=seg,
-        k_of_pos=k_of_pos,
-        owner_k=owner.astype(jnp.int32),
-        rank_k=rank.astype(jnp.int32),
-        valid_k=send_ok,
+        idx_of_pos=idx_of_pos,
+        slot_k=slot_k,
         recv_ids=recv_ids,
         recv_valid=recv_valid,
         overflow=overflow,
@@ -130,60 +154,97 @@ def build_routing(ids_flat: jax.Array, capacity: int, axis: str,
 
 
 def routed_lookup(table_local: jax.Array, routing: Routing, axis: str,
-                  out_dtype=None) -> jax.Array:
+                  out_dtype=None, assume_no_overflow: bool = False) -> jax.Array:
     """Serve + exchange + gather-back. Returns (n, W) rows for the
-    original flat positions (zeros for overflow ids)."""
+    original flat positions (zeros for overflow ids).
+
+    assume_no_overflow: pass True when capacity STATICALLY covers the
+    shard's distinct-id bound (capacity >= min(n, unique_bound) — the
+    same condition as build_routing's sorted-scatter hint), i.e. every
+    idx_of_pos is provably >= 0. Skips the overflow mask: the full
+    (n, W) select, its VJP select on the backward pass, and the pred
+    broadcast layout copies measured ~43 ms/step at criteo bench
+    shapes."""
     t, c = routing.recv_ids.shape
     w = table_local.shape[1]
     out_dtype = out_dtype or table_local.dtype
 
     # serve local rows to each requesting peer (recv_ids ascend within
-    # each peer bucket -> near-sequential HBM gather)
+    # each peer bucket -> near-sequential HBM gather). Unrequested
+    # slots serve row 0's data UNMASKED: no consumer ever gathers them
+    # (idx below only points at valid slots), and dropping the
+    # where(recv_valid) select saved a full (n, W) pass (~10 ms at
+    # criteo bench shapes).
     safe = jnp.maximum(routing.recv_ids, 0)
-    served = jnp.take(table_local, safe.reshape(-1), axis=0).reshape(t, c, w)
-    served = jnp.where(routing.recv_valid[..., None], served, 0).astype(out_dtype)
+    served = jnp.take(table_local, safe.reshape(-1), axis=0,
+                      mode="clip").reshape(t, c, w).astype(out_dtype)
 
     # reverse exchange: my requested rows come back
     got = jax.lax.all_to_all(served, axis, 0, 0, tiled=False).reshape(t * c, w)
 
     # ONE wide gather straight to original positions: position p's row
-    # sits at owner*C + rank of its unique slot k_of_pos[p]; overflow
-    # slots clip in-range and are masked to zero.
-    kpos = jnp.clip(routing.owner_k * c + routing.rank_k, 0, t * c - 1)
-    idx = jnp.take(kpos, routing.k_of_pos)
-    ok = jnp.take(routing.valid_k, routing.k_of_pos)
-    rows = jnp.take(got, idx, axis=0)
-    return jnp.where(ok[:, None], rows, 0)
+    # sits at its precomputed exchange slot; overflow slots (-1) clamp
+    # to 0 and are masked to zero rows.
+    idx = routing.idx_of_pos
+    if assume_no_overflow:
+        return jnp.take(got, idx, axis=0, mode="clip")
+    rows = jnp.take(got, jnp.maximum(idx, 0), axis=0, mode="clip")
+    return jnp.where((idx >= 0)[:, None], rows, 0)
 
 
-def grad_return(drows_flat: jax.Array, routing: Routing, axis: str
+def grad_return(drows_flat: jax.Array, routing: Routing, axis: str,
+                max_unique: int | None = None
                 ) -> Tuple[jax.Array, jax.Array]:
     """Reverse path: dedup-sum grads per unique id and all-to-all them
     back to the owner shard.
 
     Returns (row_ids (T*C,), grads (T*C, W)) in the OWNER's local row
-    space, sentinel -1 rows for empty slots — exactly the contract of
-    optim.rowwise.rowwise_update.
+    space, sentinel -1 rows for empty slots (their grads are exact
+    zeros) — the contract of optim.rowwise.rowwise_update, which may
+    therefore be called with sentinel_grads_zero=True.
+
+    max_unique: optional static bound on this shard's distinct-id count
+    (e.g. optim.rowwise.unique_bound of the local batch); shrinks the
+    compact dedup buffer and the scatter slot count.
+
+    bf16 grads with a 128-multiple width take the fused Pallas
+    sorted-segment kernel (compact slots, then ONE sorted-unique
+    scatter into the exchange buckets) — the XLA segment_sum this
+    replaces materialized an (n, W) f32 scatter-add, measured 80.9 ms
+    vs ~19 ms at criteo bench shapes (scripts/trace_sharded.py). Other
+    dtypes keep the exact-f32 segment_sum path (one bf16-class rounding
+    either way for bf16; f32 payloads stay exact).
     """
     n, w = drows_flat.shape
     t, c = routing.recv_ids.shape
 
-    dsorted = jnp.take(drows_flat, routing.order, axis=0)
-    guniq = jax.ops.segment_sum(dsorted.astype(jnp.float32), routing.seg,
-                                num_segments=n,
-                                indices_are_sorted=True)  # (n, W) per unique k
+    dsorted = jnp.take(drows_flat, routing.order, axis=0, mode="clip")
+    send_pos = jnp.where(routing.slot_k >= 0, routing.slot_k, t * c)
+    # same no-overflow-possible condition as build_routing: with
+    # overflow, dropped out-of-bounds positions interleave between
+    # ascending valid slots and the sorted hint would be a lie.
+    sorted_hint = c >= min(n, max_unique or n)
 
-    # Exchange payload rides in the caller's grad dtype: summation stays
-    # f32-exact above; a bf16 compute dtype then halves the reverse
-    # all-to-all's ICI bytes (one bf16 rounding of the per-unique sums,
-    # same rounding class as the single-chip dedup kernel's bf16 gsum).
-    # Each valid unique k owns exactly one ascending slot -> sorted
-    # unique scatter-SET (no read-modify-write scatter-add).
-    send_pos = jnp.where(routing.valid_k,
-                         routing.owner_k * c + routing.rank_k, t * c)
-    send = jnp.zeros((t * c, w), drows_flat.dtype).at[send_pos].set(
-        guniq.astype(drows_flat.dtype), mode="drop", unique_indices=True,
-        indices_are_sorted=True).reshape(t, c, w)
+    if drows_flat.dtype == jnp.bfloat16 and w % 128 == 0:
+        from cffm_tpu.ops.sorted_segment import EB, sorted_segment_sum_by_seg
+        m = min(n, max_unique) if max_unique else n
+        m_pad = -(-m // EB) * EB
+        gsum = sorted_segment_sum_by_seg(routing.seg, dsorted, m_pad)
+        # compact slot k -> exchange slot owner*C+rank: ascending over
+        # valid k -> sorted unique scatter-SET. Compact slots past the
+        # unique count carry send_pos t*c and drop.
+        pos = (jnp.concatenate([send_pos,
+                                jnp.full((m_pad - n,), t * c, jnp.int32)])
+               if m_pad > n else send_pos[:m_pad])
+        send = jnp.zeros((t * c, w), jnp.bfloat16).at[pos].set(
+            gsum, mode="drop", unique_indices=True,
+            indices_are_sorted=sorted_hint).reshape(t, c, w)
+    else:
+        guniq = jax.ops.segment_sum(dsorted.astype(jnp.float32), routing.seg,
+                                    num_segments=n, indices_are_sorted=True)
+        send = jnp.zeros((t * c, w), drows_flat.dtype).at[send_pos].set(
+            guniq.astype(drows_flat.dtype), mode="drop", unique_indices=True,
+            indices_are_sorted=sorted_hint).reshape(t, c, w)
 
     got = jax.lax.all_to_all(send, axis, 0, 0, tiled=False)  # (T, C, W)
     row_ids = jnp.where(routing.recv_valid, routing.recv_ids, -1).reshape(-1)
@@ -196,18 +257,25 @@ def grad_return(drows_flat: jax.Array, routing: Routing, axis: str
 
 
 def pick_capacity(n_ids: int, num_shards: int, factor: float = 2.0,
-                  rows_per_shard: int | None = None) -> int:
+                  rows_per_shard: int | None = None,
+                  max_unique: int | None = None) -> int:
     """Per-peer bucket capacity: even split times slack, lane-rounded.
 
     Hard caps (always correct, no overflow possible beyond them):
     a shard can't request more distinct ids than it has ids (n_ids),
-    and a peer can't serve more distinct rows than it owns
-    (rows_per_shard). Without them, T=1 benches allocated send/serve
-    buffers LARGER than the whole table (5.1M slots x 640 lanes =
-    6.5 GB of bf16 transients at criteo bench shapes)."""
+    a peer can't serve more distinct rows than it owns
+    (rows_per_shard), and a shard can't request more distinct ids than
+    the per-field vocab structure allows (max_unique =
+    optim.rowwise.unique_bound: sum_f min(vocab_f, batch)). Without
+    them, T=1 benches allocated send/serve buffers LARGER than the
+    whole table (5.1M slots x 640 lanes = 6.5 GB of bf16 transients at
+    criteo bench shapes); the max_unique cap further cut the t=1
+    exchange buffers 2.56M -> 1.71M slots at criteo batch 65536."""
     base = -(-n_ids // num_shards)
     cap = int(base * factor)
     cap = min(cap, n_ids)
+    if max_unique is not None:
+        cap = min(cap, int(max_unique))
     if rows_per_shard is not None:
         cap = min(cap, rows_per_shard)
     return max(128, -(-cap // 128) * 128)

@@ -28,7 +28,7 @@ from cffm_tpu.config import TrainConfig
 from cffm_tpu.models import cffm as model_lib
 from cffm_tpu.optim.rowwise import (make_dense_optimizer, rowwise_init,
                                     rowwise_update, scale_updates,
-                                    schedule_factor, sr_keys)
+                                    schedule_factor, sr_keys, unique_bound)
 from cffm_tpu.parallel import sharded_embedding as se
 from cffm_tpu.train import TrainState, merge_dense_params, split_dense_params
 
@@ -111,17 +111,29 @@ def _local_step(params, dense_opt_state, sparse_opt_state, step_no,
     def dbg(tag):
         collective_probe(tag, AXIS, cfg.debug_barriers)
 
+    # static distinct-id bound for this shard's batch: drives the
+    # no-overflow-possible sorted-scatter hint and the compact dedup
+    # buffer in grad_return
+    batch_unique = unique_bound(mcfg.vocab_sizes, b_loc)
+    # capacity statically covers the bound -> overflow impossible ->
+    # the lookups skip their full-width overflow masks
+    no_ovf = capacity >= min(flat_ids.shape[0], batch_unique)
+
     dbg("routing-a2a:enter")
     routing = se.build_routing(flat_ids, capacity, AXIS,
-                               rows_per_shard=table_local.shape[0])
+                               rows_per_shard=table_local.shape[0],
+                               max_unique=batch_unique)
     dbg("lookup-a2a:enter")
-    rows = se.routed_lookup(table_local, routing, AXIS, out_dtype=cdt)
+    rows = se.routed_lookup(table_local, routing, AXIS, out_dtype=cdt,
+                            assume_no_overflow=no_ovf)
     dbg("lookup-a2a:exit")
     emb_rows = rows.reshape(b_loc, f, w)
     separate_linear = mcfg.use_first_order and not mcfg.fused_linear
     if separate_linear:
         lin_rows = se.routed_lookup(params["linear"]["table"], routing, AXIS,
-                                    out_dtype=jnp.float32).reshape(b_loc, f, 1)
+                                    out_dtype=jnp.float32,
+                                    assume_no_overflow=no_ovf
+                                    ).reshape(b_loc, f, 1)
     else:
         lin_rows = None
 
@@ -160,7 +172,8 @@ def _local_step(params, dense_opt_state, sparse_opt_state, step_no,
 
     # sparse: reverse all-to-all, per-row update local to the shard
     dbg("grad-return-a2a:enter")
-    row_ids, row_grads = se.grad_return(demb.reshape(-1, w), routing, AXIS)
+    row_ids, row_grads = se.grad_return(demb.reshape(-1, w), routing, AXIS,
+                                        max_unique=batch_unique)
     dbg("grad-return-a2a:exit")
     # distinct local rows are bounded by the shard's row count
     max_u = int(table_local.shape[0]) + 1
@@ -174,15 +187,17 @@ def _local_step(params, dense_opt_state, sparse_opt_state, step_no,
         sk_lin = jax.random.fold_in(sk_lin, shard)
     new_table, new_sparse["embed"] = rowwise_update(
         table_local, sparse_opt_state["embed"], row_ids, row_grads, cfg.optim,
-        max_unique=max_u, lr_scale=lrf, sr_key=sk_emb)
+        max_unique=max_u, lr_scale=lrf, sr_key=sk_emb,
+        sentinel_grads_zero=True)
     new_params = dict(new_params, embed={"table": new_table})
     if separate_linear:
         lrow_ids, lrow_grads = se.grad_return(
-            dlin.reshape(-1, 1).astype(jnp.float32), routing, AXIS)
+            dlin.reshape(-1, 1).astype(jnp.float32), routing, AXIS,
+            max_unique=batch_unique)
         new_lin, new_sparse["linear"] = rowwise_update(
             params["linear"]["table"], sparse_opt_state["linear"],
             lrow_ids, lrow_grads, cfg.optim, max_unique=max_u, lr_scale=lrf,
-            sr_key=sk_lin)
+            sr_key=sk_lin, sentinel_grads_zero=True)
         new_params = dict(new_params, linear=dict(new_params["linear"], table=new_lin))
 
     step_metrics = {
@@ -198,7 +213,9 @@ def make_sharded_train_step(cfg: TrainConfig, mesh: Mesh, interaction_fn=None):
     n_local = (b_glob // t) * cfg.model.num_fields
     v_pad = _round_up(cfg.model.total_vocab, t)
     capacity = se.pick_capacity(n_local, t, cfg.sharding.id_capacity_factor,
-                                rows_per_shard=v_pad // t)
+                                rows_per_shard=v_pad // t,
+                                max_unique=unique_bound(
+                                    cfg.model.vocab_sizes, b_glob // t))
 
     body = functools.partial(_local_step, cfg=cfg, capacity=capacity,
                              interaction_fn=interaction_fn)
@@ -260,21 +277,28 @@ def make_sharded_eval_step(cfg: TrainConfig, mesh: Mesh, interaction_fn=None):
     b_glob = cfg.data.batch_size
     n_local = (b_glob // t) * cfg.model.num_fields
     v_pad = _round_up(cfg.model.total_vocab, t)
+    eval_unique = unique_bound(cfg.model.vocab_sizes, b_glob // t)
     capacity = se.pick_capacity(n_local, t, cfg.sharding.id_capacity_factor,
-                                rows_per_shard=v_pad // t)
+                                rows_per_shard=v_pad // t,
+                                max_unique=eval_unique)
     mcfg = cfg.model
 
     def body(params, auc_state, ids, dense, labels, mask):
         b_loc, f = ids.shape
         cdt = jnp.dtype(mcfg.compute_dtype)
+        no_ovf = capacity >= min(ids.size, eval_unique)
         routing = se.build_routing(ids.reshape(-1), capacity, AXIS,
-                                   rows_per_shard=params["embed"]["table"].shape[0])
+                                   rows_per_shard=params["embed"]["table"].shape[0],
+                                   max_unique=eval_unique)
         emb_rows = se.routed_lookup(params["embed"]["table"], routing, AXIS,
-                                    out_dtype=cdt).reshape(b_loc, f, mcfg.table_width)
+                                    out_dtype=cdt, assume_no_overflow=no_ovf
+                                    ).reshape(b_loc, f, mcfg.table_width)
         lin_rows = None
         if mcfg.use_first_order and not mcfg.fused_linear:
             lin_rows = se.routed_lookup(params["linear"]["table"], routing, AXIS,
-                                        out_dtype=jnp.float32).reshape(b_loc, f, 1)
+                                        out_dtype=jnp.float32,
+                                        assume_no_overflow=no_ovf
+                                        ).reshape(b_loc, f, 1)
         logits = model_lib.forward_from_rows(
             params, emb_rows, lin_rows, dense, mcfg, interaction_fn=interaction_fn)
         logits = logits + metrics.calibration_offset(cfg.data)
