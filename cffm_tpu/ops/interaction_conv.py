@@ -82,15 +82,18 @@ def _build_et(e_ref, f: int, w: int, bt: int):
 
 
 def _build_m2t(et, m2t, cfg: ModelConfig, p_pad: int, bt: int):
-    """Cross map, pair-transposed: M2T (d+2, P_pad, Bt).
+    """Cross map, pair-transposed: M2T (d + 2*half, P_pad, Bt).
 
-    Row 1+x holds interaction position x; rows 0 and d+1 stay zero
-    (SAME-padding halo for the tap-window trick).
+    Row half+x holds interaction position x; the half rows on each side
+    stay zero (SAME-padding halo for the tap-window trick; half = k//2,
+    so k=1 runs halo-free).
     """
     f, d = cfg.num_fields, cfg.embed_dim
+    half = cfg.conv_kernel // 2
     fa = cfg.cross == "field_aware"
-    m2t[0] = jnp.zeros((p_pad, bt), m2t.dtype)
-    m2t[d + 1] = jnp.zeros((p_pad, bt), m2t.dtype)
+    for h in range(half):
+        m2t[h] = jnp.zeros((p_pad, bt), m2t.dtype)
+        m2t[d + half + h] = jnp.zeros((p_pad, bt), m2t.dtype)
     off = 0
     for i in range(f):
         ni = f - 1 - i
@@ -102,12 +105,13 @@ def _build_m2t(et, m2t, cfg: ModelConfig, p_pad: int, bt: int):
         else:
             a = et[i, :, :][None, :, :]  # (1, d, Bt) broadcast over ni
             b = et[i + 1 : f, :, :]
-        m2t[1 : d + 1, off : off + ni, :] = jnp.swapaxes(
+        m2t[half : d + half, off : off + ni, :] = jnp.swapaxes(
             (a * b).astype(m2t.dtype), 0, 1
         )
         off += ni
     if p_pad > off:
-        m2t[1 : d + 1, off:p_pad, :] = jnp.zeros((d, p_pad - off, bt), m2t.dtype)
+        m2t[half : d + half, off:p_pad, :] = jnp.zeros(
+            (d, p_pad - off, bt), m2t.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -185,7 +189,8 @@ def _fwd_pallas(emb2d: jax.Array, w2: jax.Array, cfg: ModelConfig, bt: int,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((d + 2, p_pad, bt), dtype),   # M2T (padded halo)
+            pltpu.VMEM((d + 2 * (cfg.conv_kernel // 2), p_pad, bt),
+                       dtype),                       # M2T (padded halo)
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
@@ -212,11 +217,12 @@ def _bwd_kernel(e_ref, wr_ref, g_ref, *refs, cfg: ModelConfig,
     et = _build_et(e_ref, f, w_phys, bt)
     _build_m2t(et, m2t, cfg, p_pad, bt)
 
-    # g (Bt, C1*d) -> gp (d+2, C1, Bt) zero-padded halo.
+    # g (Bt, C1*d) -> gp (d + 2*half, C1, Bt) zero-padded halo.
     g_t = g_ref[...].T.reshape(c1, d, bt)
-    gp[0] = jnp.zeros((c1, bt), gp.dtype)
-    gp[d + 1] = jnp.zeros((c1, bt), gp.dtype)
-    gp[1 : d + 1] = jnp.swapaxes(g_t, 0, 1)
+    for h in range(half):
+        gp[h] = jnp.zeros((c1, bt), gp.dtype)
+        gp[d + half + h] = jnp.zeros((c1, bt), gp.dtype)
+    gp[half : d + half] = jnp.swapaxes(g_t, 0, 1)
 
     # dW[t] = sum_x M2T[x + t - half] g_x^T (contract batch lanes).
     # One dot per conv position xin yields ALL k taps at once: stack the
@@ -228,7 +234,7 @@ def _bwd_kernel(e_ref, wr_ref, g_ref, *refs, cfg: ModelConfig,
     for xin in range(d):
         gw = gp[xin : xin + k].reshape(k * c1, bt)
         dw_all += jax.lax.dot_general(
-            m2t[xin + 1], gw,
+            m2t[xin + half], gw,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -340,9 +346,9 @@ def _bwd_pallas(emb2d, wr, g, cfg: ModelConfig, bt: int, interpret: bool,
             jax.ShapeDtypeStruct((b // bt, k, p_pad, c1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((d + 2, p_pad, bt), dtype),   # M2T (padded halo)
-            pltpu.VMEM((d, p_pad, bt), dtype),       # dM2T
-            pltpu.VMEM((d + 2, c1, bt), dtype),      # g transposed (halo)
+            pltpu.VMEM((d + 2 * (k // 2), p_pad, bt), dtype),  # M2T halo
+            pltpu.VMEM((d, p_pad, bt), dtype),                 # dM2T
+            pltpu.VMEM((d + 2 * (k // 2), c1, bt), dtype),     # gp halo
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
@@ -377,7 +383,8 @@ def _pick_bt(b: int, dtype, cfg: ModelConfig, bwd: bool = False,
         # shared formula triple-counted scratch the fwd doesn't have
         # and demoted the full-rows path (w_phys=640) to bt=128.
         c1 = cfg.conv_channels[0] if cfg.conv_channels else d
-        per_lane = (2 * cfg.num_fields * w + (d + 2) * p_pad
+        per_lane = (2 * cfg.num_fields * w
+                    + (d + 2 * (cfg.conv_kernel // 2)) * p_pad
                     + c1 * d) * itemsize
     budget = 48 * 1024 * 1024
     bt = 128 if bwd else 512
@@ -426,10 +433,10 @@ def _flatten_emb(emb: jax.Array, cfg: ModelConfig) -> jax.Array:
 
 def _cross_conv1_fwd(emb, w1, cfg, bt, interpret):
     assert cfg.embed_dim % 2 == 0, "fused kernel requires even embed_dim"
-    # The M2T halo (1 zero row each side), the kw=k+1 tap window, and the
-    # bwd gp halo are all sized for k=3; other widths take the reference
-    # path (make_interaction_fn routes them there automatically).
-    assert cfg.conv_kernel == 3, "fused kernel supports conv_kernel=3 only"
+    # M2T/gp halos are k//2 rows each side and the tap window is k+1
+    # rows, so every ODD k works (even k has no symmetric SAME halo;
+    # make_interaction_fn routes those to the reference path).
+    assert cfg.conv_kernel % 2 == 1, "fused kernel supports odd k only"
     if interpret is None:
         interpret = _auto_interpret()
     emb2d = _flatten_emb(emb, cfg)
@@ -496,7 +503,7 @@ def cross_conv1_lin_pallas(emb2d: jax.Array, w1: jax.Array, cfg: ModelConfig,
 
 def _cross_conv1_lin_fwd(emb2d, w1, cfg, bt, interpret):
     assert cfg.cross == "field_aware" and cfg.fused_linear
-    assert cfg.embed_dim % 2 == 0 and cfg.conv_kernel == 3
+    assert cfg.embed_dim % 2 == 0 and cfg.conv_kernel % 2 == 1
     if interpret is None:
         interpret = _auto_interpret()
     b, fw = emb2d.shape
@@ -570,7 +577,8 @@ def make_interaction_fn(use_pallas: bool = True, bt: int = 0,
             m = build_cross_map(emb, cfg)
             return m.reshape(m.shape[0], -1)
         layer1 = conv_params[0]
-        if use_pallas and cfg.conv_kernel == 3 and cfg.embed_dim % 2 == 0:
+        if (use_pallas and cfg.conv_kernel % 2 == 1
+                and cfg.embed_dim % 2 == 0):
             x = cross_conv1_pallas(emb, layer1["w"], cfg, bt, interpret)
         else:
             x = cross_conv1_reference(emb, layer1["w"], cfg)
