@@ -24,7 +24,8 @@ import time
 
 
 def _run_once(batch: int, feed: str = "staged",
-              table_dtype: str = "float32") -> float:
+              table_dtype: str = "float32",
+              config: str = "criteo_kaggle") -> float:
     """Train-step examples/s at this batch size (raises on device error).
 
     feed="staged": synthetic arrays pre-staged on device (pure device
@@ -40,7 +41,7 @@ def _run_once(batch: int, feed: str = "staged",
     from cffm_tpu.train import create_state, default_interaction_fn, train_step
     from cffm_tpu.utils.timing import measure_rtt
 
-    cfg = get_config("criteo_kaggle")
+    cfg = get_config(config)
     cfg = dataclasses.replace(
         cfg, data=dataclasses.replace(cfg.data, batch_size=batch),
         model=dataclasses.replace(cfg.model, table_dtype=table_dtype))
@@ -57,7 +58,8 @@ def _run_once(batch: int, feed: str = "staged",
         [rng.integers(0, v, size=batch) for v in cfg.model.vocab_sizes], axis=1
     ).astype(np.int32)
     ids = jnp.asarray(ids_local + field_offsets(cfg.model)[None, :].astype(np.int32))
-    dense = jnp.asarray(rng.normal(size=(batch, 13)), jnp.float32)
+    dense = (jnp.asarray(rng.normal(size=(batch, cfg.model.num_dense)),
+                         jnp.float32) if cfg.model.num_dense else None)
     labels = jnp.asarray((rng.random(batch) < 0.3).astype(np.float32))
 
     state = create_state(cfg, jax.random.key(0))
@@ -96,7 +98,8 @@ def _run_score(cfg, batch: int) -> float:
         np.stack([rng.integers(0, v, size=batch) for v in mcfg.vocab_sizes],
                  axis=1).astype(np.int32)
         + field_offsets(mcfg)[None, :].astype(np.int32))
-    dense = jnp.asarray(rng.normal(size=(batch, 13)), jnp.float32)
+    dense = (jnp.asarray(rng.normal(size=(batch, mcfg.num_dense)), jnp.float32)
+             if mcfg.num_dense else None)
     state = create_state(cfg, jax.random.key(0))
     interaction_fn = default_interaction_fn(cfg)
 
@@ -140,7 +143,8 @@ def _run_sharded(cfg, batch: int) -> float:
         [rng.integers(0, v, size=batch) for v in cfg.model.vocab_sizes], axis=1
     ).astype(np.int32)
     ids = jnp.asarray(ids_local + field_offsets(cfg.model)[None, :].astype(np.int32))
-    dense = jnp.asarray(rng.normal(size=(batch, 13)), jnp.float32)
+    dense = (jnp.asarray(rng.normal(size=(batch, cfg.model.num_dense)),
+                         jnp.float32) if cfg.model.num_dense else None)
     labels = jnp.asarray((rng.random(batch) < 0.3).astype(np.float32))
 
     mesh = make_mesh(1)
@@ -286,6 +290,10 @@ def main(argv=None):
                     "stochastic-rounding updates) measured 338.7K ex/s/chip "
                     "@65536 with eval AUC identical to float32 (0.61865 vs "
                     "0.61866, real chip 2026-08-18); float32 307.0K @49152.")
+    ap.add_argument("--config", default="criteo_kaggle",
+                    help="named config to bench (criteo_kaggle, avazu, ...); "
+                    "the metric name carries the config so last-good records "
+                    "stay per-config")
     ap.add_argument("--batch", type=int, default=65536,
                     help="starting batch size (falls back down a ladder "
                     "through the known-good 49152/32768 rungs on OOM)")
@@ -301,9 +309,9 @@ def main(argv=None):
 
     def _watchdog():
         out = {
-            "metric": ("criteo_kaggle_score_examples_per_s_per_chip"
+            "metric": (f"{args.config}_score_examples_per_s_per_chip"
                    if args.feed == "score" else
-                   "criteo_kaggle_train_step_examples_per_s_per_chip"),
+                   f"{args.config}_train_step_examples_per_s_per_chip"),
             "value": 0.0,
             "unit": "examples/s",
             "vs_baseline": 0.0,
@@ -335,7 +343,8 @@ def main(argv=None):
     for batch in ladder:
         try:
             value = _run_once(batch, feed=args.feed,
-                              table_dtype=args.table_dtype)
+                              table_dtype=args.table_dtype,
+                              config=args.config)
             error = None
             break
         except Exception as e:  # noqa: BLE001 — resilience is the point
@@ -358,9 +367,9 @@ def main(argv=None):
                 pass
 
     out = {
-        "metric": ("criteo_kaggle_score_examples_per_s_per_chip"
+        "metric": (f"{args.config}_score_examples_per_s_per_chip"
                    if args.feed == "score" else
-                   "criteo_kaggle_train_step_examples_per_s_per_chip"),
+                   f"{args.config}_train_step_examples_per_s_per_chip"),
         "value": round(value, 1),
         "unit": "examples/s",
         "vs_baseline": round(value / 125000.0, 3),

@@ -187,7 +187,17 @@ class ShardingConfig:
     # within each host, replicated across; lookup rides ICI only and
     # table grads psum over "host" (parallel/dcn_mesh.py; SURVEY.md M5).
     table_axis: str = "global"
-    id_capacity_factor: float = 2.0  # per-peer bucket slack for all-to-all
+    # Per-peer all-to-all bucket slack. Capacity per (shard, peer) bucket is
+    # ceil(n_local_ids / T) * factor, lane-rounded, hard-capped by the static
+    # distinct-id bound (sum_f min(vocab_f, local_batch)) so T=1 and small
+    # vocabs can never overflow. Sizing rule: uniques per bucket concentrate
+    # around unique_bound/T under uniform ids, LOWER under Zipf skew (hot ids
+    # dedup into one slot), so 2.0 covers any skew; overflow (counted in step
+    # metrics as "overflow", psum'd) means dropped embeddings/grads for the
+    # excess ids — if it is ever nonzero in production, raise this factor.
+    # Tested under forced overflow: training stays finite and the counter
+    # reports (tests/test_sharded_train.py::test_sharded_step_under_forced_overflow).
+    id_capacity_factor: float = 2.0
     dedup: bool = True
 
 

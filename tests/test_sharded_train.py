@@ -270,3 +270,64 @@ def test_sharded_step_streamed_update_matches_scatter(eight_devices):
     assert untouched.any()
     t0 = np.asarray(se.from_mod_sharded(jnp.asarray(table0), T, v))
     np.testing.assert_array_equal(t_on[untouched], t0[untouched])
+
+
+def test_sharded_step_under_forced_overflow(eight_devices):
+    """Capacity overflow hardening (VERDICT r2 #9): with
+    id_capacity_factor < 1 the per-peer buckets provably cannot hold
+    every unique id — overflowed ids read zero embeddings and drop
+    their grads (sharded_embedding.build_routing). Training must stay
+    finite, report the overflow count, and still learn on the ids that
+    do fit."""
+    cfg = _cfg(batch=4096)
+    # vocabs big enough that per-peer uniques exceed the 128-slot
+    # capacity floor once the factor squeezes the buckets; UNIFORM ids
+    # (not _batch's Zipf) so nearly every id is distinct: ~2480 uniques
+    # per device / 8 owner buckets ~ 310 > 128 slots
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, vocab_sizes=(8192,) * 5),
+        sharding=dataclasses.replace(cfg.sharding, id_capacity_factor=0.25))
+    mesh = make_mesh(T)
+    state = create_sharded_state(cfg, jax.random.key(0), mesh)
+    step = make_sharded_train_step(cfg, mesh)
+
+    def _uniform_batch(seed):
+        rng = np.random.default_rng(seed)
+        b = cfg.data.batch_size
+        ids_local = np.stack(
+            [rng.integers(0, v, size=b) for v in cfg.model.vocab_sizes],
+            axis=1).astype(np.int32)
+        ids = jnp.asarray(
+            ids_local + field_offsets(cfg.model)[None, :].astype(np.int32))
+        labels = jnp.asarray((rng.random(b) < 0.4).astype(np.float32))
+        return ids, labels
+
+    losses, overflows = [], []
+    for s in range(4):
+        ids, labels = _uniform_batch(seed=s)
+        state, m = step(state, ids, None, labels)
+        losses.append(float(m["loss"]))
+        overflows.append(int(m["overflow"]))
+    assert all(np.isfinite(l) for l in losses), losses
+    # the Zipf batch at factor 0.25 MUST overflow (otherwise this test
+    # is vacuous) and the counter must surface it
+    assert max(overflows) > 0, overflows
+    # tables stay finite under dropped-grad updates
+    assert bool(jnp.isfinite(state.params["embed"]["table"]).all())
+
+
+def test_pick_capacity_covers_unique_bound_at_t1():
+    """Sizing rule: at T=1 the capacity cap equals the static unique
+    bound, so overflow is impossible and the no-overflow fast paths
+    (sorted scatter hints, mask elision) engage."""
+    from cffm_tpu.optim.rowwise import unique_bound
+
+    vocabs = (64,) * 3 + (100_000,) * 4
+    b = 4096
+    n = b * len(vocabs)
+    ub = unique_bound(vocabs, b)
+    cap = se.pick_capacity(n, 1, 2.0, rows_per_shard=sum(vocabs),
+                           max_unique=ub)
+    assert cap >= min(n, ub)
+    assert cap <= -(-min(n, ub) // 128) * 128
