@@ -101,43 +101,62 @@ def supported(num_rows: int, width: int, m: int) -> bool:
 
 
 def _kernel(lo_ref, hyper_ref, *refs, r: int, winb: int, mode: str,
-            stochastic: bool, nt: int):
-    """refs: uids (M/EB, EB) i32 resident, g_0..g_{winb-1} (EB, W), then
-    mode-dependent ins/outs:
+            stochastic: bool, nt: int, nb: int = 1, clip: float = 0.0):
+    """refs: uids (NB*C/EB, EB) i32 resident, g_{o,k} for o in [0,NB),
+    k in [0,winb) as NB*winb (EB, W) window blocks, then mode-dependent
+    ins/outs:
       sgd:          table_in | table_out
       adagrad:      table_in, acc_in (R,1) | table_out, acc_out
       rowwise_adam: table_in, m_in (R,W) f32, v_in (R,1) | table_out,
                     m_out, v_out   (full first moment streams with the
-                    table; row-scalar second moment like adagrad)."""
+                    table; row-scalar second moment like adagrad).
+
+    nb: number of entry buckets (1 = the flat dedup'd stream; T for the
+    sharded path's per-peer all-to-all buckets — each bucket ascending
+    and unique WITHIN itself; a row present in several buckets gets its
+    bucket partials summed here, BEFORE the optimizer math, which keeps
+    nonlinear updates (adagrad's mean(S^2), adam's moments) exact).
+    clip: per-row L2 clip applied to the summed gradient S (0 = off) —
+    on the bucketed path the total only exists inside this kernel, so
+    the clip must live here too (optim.rowwise.clip_rows semantics).
+    lo_ref layout: [tile*nb + o] -> global EB-block index of bucket o's
+    window start for this tile; the stochastic-rounding seed rides at
+    lo_ref[nt*nb]."""
     u_ref = refs[0]
-    g_refs = refs[1 : 1 + winb]
+    ng = nb * winb
+    g_refs = refs[1 : 1 + ng]
     if mode == "adagrad":
-        table_in, acc_in, table_out, acc_out = refs[1 + winb : 5 + winb]
+        table_in, acc_in, table_out, acc_out = refs[1 + ng : 5 + ng]
     elif mode == "rowwise_adam":
         (table_in, m_in, v_in,
-         table_out, m_out, v_out) = refs[1 + winb : 7 + winb]
+         table_out, m_out, v_out) = refs[1 + ng : 7 + ng]
     else:
-        table_in, table_out = refs[1 + winb : 3 + winb]
+        table_in, table_out = refs[1 + ng : 3 + ng]
 
     lr = hyper_ref[0]
     eps = hyper_ref[1]
     t = pl.program_id(0)
-    lo = lo_ref[t]
     base = t * r
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (r, EB), 0)
 
     # One matmul pass: per-row summed gradient S (R, W) in f32.
     s = jnp.zeros((r, table_in.shape[1]), jnp.float32)
     nmatch = jnp.zeros((r, 1), jnp.float32)
-    for k in range(winb):
-        u_k = u_ref[pl.ds(lo + k, 1), :]  # (1, EB) int32
-        onehot_k = (u_k - base) == iota_r  # (R, EB)
-        s = s + jax.lax.dot_general(
-            onehot_k.astype(jnp.bfloat16), g_refs[k][...].astype(jnp.bfloat16),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        if mode == "rowwise_adam":
-            nmatch = nmatch + jnp.sum(onehot_k, axis=1, keepdims=True,
-                                      dtype=jnp.float32)
+    for o in range(nb):
+        lo = lo_ref[t * nb + o]
+        for k in range(winb):
+            u_k = u_ref[pl.ds(lo + k, 1), :]  # (1, EB) int32
+            onehot_k = (u_k - base) == iota_r  # (R, EB)
+            s = s + jax.lax.dot_general(
+                onehot_k.astype(jnp.bfloat16),
+                g_refs[o * winb + k][...].astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            if mode == "rowwise_adam":
+                nmatch = nmatch + jnp.sum(onehot_k, axis=1, keepdims=True,
+                                          dtype=jnp.float32)
+    if clip > 0.0:
+        norm = jnp.sqrt(jnp.sum(s * s, axis=1, keepdims=True))
+        s = s * jnp.minimum(1.0, clip / jnp.maximum(norm, 1e-12))
 
     if mode == "adagrad":
         acc_new = acc_in[...] + jnp.mean(s * s, axis=1, keepdims=True)
@@ -170,9 +189,9 @@ def _kernel(lo_ref, hyper_ref, *refs, r: int, winb: int, mode: str,
         # rounding of an exact bf16 value is the identity.
         newv = table_in[...].astype(jnp.float32) + delta
         if stochastic:
-            # seed rides at lo_ref[nt] (appended past the per-tile lo
-            # entries); + t decorrelates the tiles' dither streams.
-            pltpu.prng_seed(lo_ref[nt] + t)
+            # seed rides at lo_ref[nt*nb] (appended past the per-tile
+            # lo entries); + t decorrelates the tiles' dither streams.
+            pltpu.prng_seed(lo_ref[nt * nb] + t)
             bits = pltpu.bitcast(
                 pltpu.prng_random_bits(newv.shape), jnp.uint32)
             table_out[...] = pltpu.stochastic_round(
@@ -242,6 +261,77 @@ def streamed_rowwise_apply(
     return out[0], None
 
 
+def bucketed_tile(num_rows: int, width: int, nb: int, c: int) -> int:
+    """Tile size for the BUCKETED apply (0 = unsupported). Each bucket
+    needs c >= winb(r)*EB so a winb-block window clamped inside the
+    bucket still covers any tile's entries, c must be EB-aligned (the
+    bucket boundary must fall on a window-block boundary), and the
+    resident flat id array must fit the VMEM guard."""
+    if width % 128 != 0 or c % EB != 0 or nb * c * 4 > MAX_RESIDENT_IDS_BYTES:
+        return 0
+    for r in (512, 256, 128, 64):
+        if num_rows >= r and c >= win_blocks(r) * EB:
+            return r
+    return 0
+
+
+def bucketed_rowwise_apply(
+    table: jax.Array,
+    accum: jax.Array | None,
+    ids_bkt: jax.Array,
+    g_bkt: jax.Array,
+    lr: float | jax.Array,
+    eps: float | jax.Array,
+    clip: float = 0.0,
+    r: int | None = None,
+    interpret: bool | None = None,
+    sr_seed: jax.Array | None = None,
+):
+    """Adagrad/SGD apply straight from the sharded gradient-return
+    buckets: ids_bkt (NB, C) ascending + unique per bucket with the
+    out-of-range sentinel (>= V) in empty slots; g_bkt (NB, C, W) the
+    per-bucket dedup-summed grads (garbage in sentinel slots — they
+    deposit nowhere). Cross-bucket duplicates are summed in-kernel
+    before the optimizer math; `clip` applies optim.rowwise.clip_rows'
+    per-row L2 clip to that total. Returns (new_table, new_accum)."""
+    mode = "adagrad" if accum is not None else "sgd"
+    state = (accum,) if accum is not None else ()
+    out = _streamed_apply(table, state, ids_bkt, g_bkt, lr, eps, mode=mode,
+                          extra_hyper=None, clip=clip, r=r,
+                          interpret=interpret, sr_seed=sr_seed)
+    if accum is not None:
+        return out
+    return out[0], None
+
+
+def bucketed_rowwise_adam_apply(
+    table: jax.Array,
+    m: jax.Array,
+    v_state: jax.Array,
+    ids_bkt: jax.Array,
+    g_bkt: jax.Array,
+    lr: float | jax.Array,
+    eps: float | jax.Array,
+    b1: float,
+    b2: float,
+    t_step: jax.Array,
+    clip: float = 0.0,
+    r: int | None = None,
+    interpret: bool | None = None,
+    sr_seed: jax.Array | None = None,
+):
+    """Bucketed-input twin of streamed_rowwise_adam_apply (see
+    bucketed_rowwise_apply for the bucket contract)."""
+    t_f = t_step.astype(jnp.float32)
+    c1 = 1.0 / (1.0 - jnp.float32(b1) ** t_f)
+    c2 = 1.0 / (1.0 - jnp.float32(b2) ** t_f)
+    extra = jnp.stack([jnp.asarray(b1, jnp.float32),
+                       jnp.asarray(b2, jnp.float32), c1, c2])
+    return _streamed_apply(table, (m, v_state), ids_bkt, g_bkt, lr, eps,
+                           mode="rowwise_adam", extra_hyper=extra, clip=clip,
+                           r=r, interpret=interpret, sr_seed=sr_seed)
+
+
 def _streamed_apply(
     table: jax.Array,
     state_arrays: tuple,
@@ -252,18 +342,19 @@ def _streamed_apply(
     *,
     mode: str,
     extra_hyper: jax.Array | None,
+    clip: float = 0.0,
     r: int | None = None,
     interpret: bool | None = None,
     sr_seed: jax.Array | None = None,
 ):
+    """uids (M,)/gsum (M, W) = single flat stream; uids (NB, C)/
+    gsum (NB, C, W) = NB per-bucket streams (the flat case is exactly
+    NB=1 internally)."""
     if interpret is None:
         interpret = _auto_interpret()
     v, w = table.shape
     assert w % 128 == 0, f"streamed update needs 128-multiple width, got {w}"
-    if r is None:
-        r = pick_tile(v)
-    assert r, f"table too small to stream: num_rows={v}"
-    adagrad = mode == "adagrad"
+    bucketed = uids.ndim == 2
     # Interpret mode (CPU tests) lacks the TPU PRNG primitives
     # (prng_seed has no CPU lowering), so bf16 tables round to nearest
     # there; the stochastic path is exercised on real silicon
@@ -271,52 +362,81 @@ def _streamed_apply(
     # itself is CPU-tested via the scatter path (ops/rounding.py).
     stochastic = (table.dtype == jnp.bfloat16 and sr_seed is not None
                   and not interpret)
-    winb = win_blocks(r)
     gsum = gsum.astype(jnp.bfloat16)  # window DMA traffic dominates
 
-    # Pad entries so every window block index is valid (no-op when the
-    # caller pre-sized M via padded_entries).
-    m = uids.shape[0]
-    m_pad = padded_entries(m, r)
-    if m_pad != m:
-        uids = jnp.concatenate([uids, jnp.full((m_pad - m,), v, jnp.int32)])
-        gsum = jnp.concatenate([gsum, jnp.zeros((m_pad - m, w), gsum.dtype)])
+    if bucketed:
+        nb, c = uids.shape
+        if r is None:
+            r = bucketed_tile(v, w, nb, c)
+        assert r and c % EB == 0 and c >= win_blocks(r) * EB, (
+            f"unsupported bucket shape ({nb}, {c}) for table {v}x{w}")
+        winb = win_blocks(r)
+        gsum = gsum.reshape(nb * c, w)
+        uids_flat = uids.reshape(-1)
+        cb = c // EB
+        m_pad = nb * c
+    else:
+        if r is None:
+            r = pick_tile(v)
+        assert r, f"table too small to stream: num_rows={v}"
+        winb = win_blocks(r)
+        nb = 1
+        # Pad entries so every window block index is valid (no-op when
+        # the caller pre-sized M via padded_entries).
+        m = uids.shape[0]
+        m_pad = padded_entries(m, r)
+        if m_pad != m:
+            uids = jnp.concatenate([uids, jnp.full((m_pad - m,), v, jnp.int32)])
+            gsum = jnp.concatenate([gsum, jnp.zeros((m_pad - m, w), gsum.dtype)])
+        uids_flat = uids
+        cb = m_pad // EB
 
-    # Per-tile first-entry offset -> window start block (scalar prefetch).
+    # Per-(tile, bucket) first-entry offset -> window start block
+    # (scalar prefetch), window clamped INSIDE the bucket so no block
+    # ever straddles two buckets (a straddling window would deposit the
+    # next bucket's entries twice).
     t_full = -(-v // r)
     tile_starts = jnp.arange(t_full, dtype=jnp.int32) * r
-    lo = jnp.searchsorted(uids, tile_starts).astype(jnp.int32)
-    lo_blk = jnp.minimum(lo // EB, m_pad // EB - winb)
+    lo = jax.vmap(lambda u: jnp.searchsorted(u, tile_starts))(
+        uids_flat.reshape(nb, -1)).astype(jnp.int32)       # (nb, t_full)
+    lo_blk = (jnp.minimum(lo // EB, cb - winb)
+              + (jnp.arange(nb, dtype=jnp.int32) * cb)[:, None])
+    # kernel indexes lo_ref[tile*nb + o]
+    lo_flat = lo_blk.T.reshape(-1)
     # stochastic-rounding seed rides as one extra int32 past the tiles
     seed = (sr_seed if stochastic
             else jnp.zeros((), jnp.int32)).astype(jnp.int32)
-    lo_blk = jnp.concatenate([lo_blk, seed[None]])
+    lo_flat = jnp.concatenate([lo_flat, seed[None]])
 
     hyper = jnp.stack([jnp.asarray(lr, jnp.float32),
                        jnp.asarray(eps, jnp.float32)])
     if extra_hyper is not None:
         hyper = jnp.concatenate([hyper, extra_hyper])
-    uids2d = uids.reshape(m_pad // EB, EB)
+    uids2d = uids_flat.reshape(m_pad // EB, EB)
 
     uids_spec = pl.BlockSpec((m_pad // EB, EB),
                              lambda t, lo_ref, hyp: (0, 0),
                              memory_space=pltpu.VMEM)
 
-    def g_spec(k):
-        return pl.BlockSpec((EB, w), lambda t, lo_ref, hyp: (lo_ref[t] + k, 0),
-                            memory_space=pltpu.VMEM)
+    def g_spec(o, k):
+        return pl.BlockSpec(
+            (EB, w), lambda t, lo_ref, hyp: (lo_ref[t * nb + o] + k, 0),
+            memory_space=pltpu.VMEM)
 
     tile_spec = pl.BlockSpec((r, w), lambda t, lo_ref, hyp: (t, 0),
                              memory_space=pltpu.VMEM)
     acc_spec = pl.BlockSpec((r, 1), lambda t, lo_ref, hyp: (t, 0),
                             memory_space=pltpu.VMEM)
 
-    in_specs = [uids_spec] + [g_spec(k) for k in range(winb)] + [tile_spec]
-    in_arrays = [uids2d] + [gsum] * winb + [table]
+    ng = nb * winb
+    in_specs = ([uids_spec]
+                + [g_spec(o, k) for o in range(nb) for k in range(winb)]
+                + [tile_spec])
+    in_arrays = [uids2d] + [gsum] * ng + [table]
     out_shape = [jax.ShapeDtypeStruct((v, w), table.dtype)]
     out_specs = [tile_spec]
-    # alias keys count the scalar-prefetch operands (lo_blk, hyper)
-    io_aliases = {3 + winb: 0}
+    # alias keys count the scalar-prefetch operands (lo_flat, hyper)
+    io_aliases = {3 + ng: 0}
     # per-mode state arrays stream tile-for-tile, in/out aliased like
     # the table: adagrad (V,1) accum; rowwise_adam (V,W) m + (V,1) v
     state_specs = {"sgd": (), "adagrad": (acc_spec,),
@@ -326,10 +446,11 @@ def _streamed_apply(
         in_arrays.append(arr)
         out_shape.append(jax.ShapeDtypeStruct(arr.shape, arr.dtype))
         out_specs.append(spec)
-        io_aliases[4 + winb + i] = 1 + i
+        io_aliases[4 + ng + i] = 1 + i
 
     kernel = functools.partial(_kernel, r=r, winb=winb, mode=mode,
-                               stochastic=stochastic, nt=t_full)
+                               stochastic=stochastic, nt=t_full, nb=nb,
+                               clip=float(clip))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(t_full,),
@@ -344,5 +465,5 @@ def _streamed_apply(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(lo_blk, hyper, *in_arrays)
+    )(lo_flat, hyper, *in_arrays)
     return tuple(outs)

@@ -369,6 +369,84 @@ def rowwise_update(
     raise ValueError(opt.sparse_optimizer)
 
 
+def bucketed_rowwise_update(
+    table: jax.Array,
+    state: Dict,
+    ids_bkt: jax.Array,
+    grads_bkt: jax.Array,
+    opt: OptimizerConfig,
+    lr_scale: float = 1.0,
+    sr_key=None,
+) -> Tuple[jax.Array, Dict]:
+    """Sparse per-row update straight from the sharded gradient-return
+    buckets (parallel/sharded_embedding.grad_return): ids_bkt (T, C)
+    local rows, ascending + unique per bucket, with the out-of-range
+    sentinel (>= table rows) in empty slots; grads_bkt (T, C, W) the
+    per-bucket dedup-summed grads (GARBAGE in sentinel slots — they
+    are dropped by id range, never zeroed).
+
+    When the bucketed streamed kernel applies (ops/streamed_update.
+    bucketed_tile), the buckets feed it DIRECTLY — no sort, no second
+    dedup, no exchange-slot scatter (that re-dedup pipeline measured
+    ~19 ms/step at criteo bench shapes, scripts/trace_sharded.py
+    2026-08-20); cross-bucket duplicates (rows requested by several
+    peers) are summed inside the kernel before the optimizer math, and
+    opt.clip_norm is applied there to the cross-bucket total.
+    Otherwise falls back to flattening into rowwise_update, whose
+    global dedup handles the cross-bucket duplicates (sentinel ids
+    sort last and drop on every scatter; their garbage grads land
+    nowhere)."""
+    v, w = table.shape
+    nb, c = ids_bkt.shape[0], ids_bkt.shape[1]
+    lr = opt.sparse_lr * lr_scale
+    mode = getattr(opt, "streamed_update", "auto")
+    from cffm_tpu.ops.streamed_update import bucketed_tile
+
+    r = 0
+    if (mode != "off"
+            and opt.sparse_optimizer in ("adagrad", "sgd", "rowwise_adam")
+            and table.dtype in (jnp.float32, jnp.bfloat16)
+            and grads_bkt.shape[-1] == w):
+        r = bucketed_tile(v, w, nb, c)
+    touched = min(nb * c, v)
+    if r and (mode == "on" or (v * w >= (1 << 24) and touched >= 0.08 * v)):
+        from cffm_tpu.ops.streamed_update import (bucketed_rowwise_adam_apply,
+                                                  bucketed_rowwise_apply)
+
+        seed = None
+        if table.dtype == jnp.bfloat16 and opt.table_rounding == "stochastic":
+            if sr_key is None:
+                raise ValueError("bf16 streamed update with stochastic "
+                                 "rounding needs sr_key")
+            seed = jax.random.randint(sr_key, (), 0, 2**31 - 1, jnp.int32)
+        if opt.sparse_optimizer == "adagrad":
+            new_table, new_accum = bucketed_rowwise_apply(
+                table, state["accum"], ids_bkt, grads_bkt, lr, opt.eps,
+                clip=opt.clip_norm, r=r, sr_seed=seed)
+            return new_table, {"accum": new_accum}
+        if opt.sparse_optimizer == "rowwise_adam":
+            t = state["t"] + 1
+            new_table, new_m, new_v = bucketed_rowwise_adam_apply(
+                table, state["m"], state["v"], ids_bkt, grads_bkt, lr,
+                opt.eps, opt.adam_b1, opt.adam_b2, t, clip=opt.clip_norm,
+                r=r, sr_seed=seed)
+            return new_table, {"m": new_m, "v": new_v, "t": t}
+        new_table, _ = bucketed_rowwise_apply(
+            table, None, ids_bkt, grads_bkt, lr, opt.eps,
+            clip=opt.clip_norm, r=r, sr_seed=seed)
+        return new_table, state
+
+    # Fallback: global dedup over the flattened buckets. Sentinel ids
+    # (>= v) sort to the end, form their own segments, and every
+    # scatter drops them out-of-bounds — the garbage grads they carry
+    # never land, so no zeroing pass is needed (mask_sentinels=False:
+    # all ids are >= 0 by construction).
+    return rowwise_update(
+        table, state, ids_bkt.reshape(-1), grads_bkt.reshape(-1, w), opt,
+        lr_scale=lr_scale, max_unique=v + 1, mask_sentinels=False,
+        sr_key=sr_key)
+
+
 def dense_rowwise_apply(table: jax.Array, state: Dict, g: jax.Array,
                         opt: OptimizerConfig, lr_scale: float = 1.0,
                         sr_key=None) -> Tuple[jax.Array, Dict]:

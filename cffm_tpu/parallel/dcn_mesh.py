@@ -103,13 +103,16 @@ def create_sharded_state_2d(cfg: TrainConfig, rng: jax.Array,
 
 
 def _dense_table_grad(row_ids, row_grads, vs: int):
-    """Scatter returned row grads into a dense (Vs, W) shard buffer;
-    sentinel -1 rows drop. Duplicate rows (requested by several peers)
-    accumulate — same dedup-sum total as the sparse path."""
-    w = row_grads.shape[1]
-    safe = jnp.where(row_ids >= 0, row_ids, vs)
-    return jnp.zeros((vs + 1, w), jnp.float32).at[safe].add(
-        row_grads, mode="drop")[:vs]
+    """Scatter returned row-grad buckets (T, C)/(T, C, W) into a dense
+    (Vs, W) shard buffer; out-of-range sentinel slots (>= vs, which
+    carry garbage grads — see sharded_embedding.grad_return) drop.
+    Duplicate rows (requested by several peers) accumulate — same
+    dedup-sum total as the sparse path."""
+    w = row_grads.shape[-1]
+    ids = row_ids.reshape(-1)
+    return jnp.zeros((vs + 1, w), jnp.float32).at[
+        jnp.minimum(ids, vs)].add(
+        row_grads.reshape(-1, w).astype(jnp.float32), mode="drop")[:vs]
 
 
 def _local_step_2d(params, dense_opt_state, sparse_opt_state, step_no,

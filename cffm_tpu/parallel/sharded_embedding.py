@@ -19,11 +19,23 @@ fixed-capacity buckets with overflow counting, sort-based dedup
 `shard_map`. All functions here run INSIDE shard_map over the flat
 device axis; per-device views.
 
+Routing layout (round-4 "slice routing" — scatter-free): ONE sort by
+storage-row key yields the compact unique stream in (owner, local_row)
+order. Owner o's slice of that stream [start[o], start[o]+count[o])
+IS its exchange bucket — so both the ID send buffer and the gradient
+send buffer are assembled with T static-size dynamic slices instead of
+scatters into exchange-slot space (the slot scatters measured
+5.9 + 9.2 ms/step at criteo bench shapes, scripts/trace_sharded.py
+2026-08-20; the slices are ~free). Empty bucket slots carry the
+OUT-OF-RANGE sentinel `rows_per_shard` (not -1) so each bucket stays
+ascending — the contract the bucketed streamed update kernel's
+searchsorted windows need (ops/streamed_update.py).
+
 The lookup is deliberately not autodiff'd through the table: the train
 step takes grads w.r.t. the returned rows and calls `grad_return` +
-`rowwise_update` — the reverse all-to-all routes dedup-summed row
-grads back to their owner shard, where the per-row optimizer applies
-them locally (no dense table-sized gradients ever exist).
+`bucketed_rowwise_update` — the reverse all-to-all routes dedup-summed
+row grads back to their owner shard, where the per-row optimizer
+applies them locally (no dense table-sized gradients ever exist).
 """
 
 from __future__ import annotations
@@ -34,7 +46,6 @@ import jax
 import jax.numpy as jnp
 
 
-
 class Routing(NamedTuple):
     """Static-shape routing residuals from a lookup, reused for the
     reverse (gradient) path and for same-batch secondary tables."""
@@ -43,14 +54,19 @@ class Routing(NamedTuple):
     seg: jax.Array          # (n,) segment id of each sorted position
     idx_of_pos: jax.Array   # (n,) exchange slot of each ORIGINAL position,
                             #      or -1 (capacity overflow)
-    slot_k: jax.Array       # (n,) exchange slot owner*C+rank of unique id k,
-                            #      or -1 (k >= n_unique / capacity overflow)
-    recv_ids: jax.Array     # (T, C) local row ids this shard must serve
+    start: jax.Array        # (T+1,) compact-slot boundary of each owner:
+                            #      unique k belongs to owner o iff
+                            #      start[o] <= k < start[o+1]
+    recv_ids: jax.Array     # (T, C) local row ids this shard must serve,
+                            #      ascending per bucket; empty slots hold
+                            #      the out-of-range sentinel (stride)
     recv_valid: jax.Array   # (T, C) bool mask of served slots
+    sentinel: int           # static id sentinel (== stride); recv_ids
+                            #      slots >= sentinel are empty
     overflow: jax.Array     # () int32: unique ids dropped (capacity overflow)
 
 
-def _axis_size(axis: str) -> jax.Array:
+def _axis_size(axis: str) -> int:
     return jax.lax.axis_size(axis)
 
 
@@ -60,24 +76,25 @@ def build_routing(ids_flat: jax.Array, capacity: int, axis: str,
     """Dedup + bucket-by-owner + all-to-all ID exchange. Per-shard view.
 
     ids_flat: (n,) int32 global ids of this shard's batch.
-    capacity: per-peer bucket size C (static).
+    capacity: per-peer bucket size C (static, 128-multiple).
     rows_per_shard: the peers' local table row count Vs (v_pad // t).
     Optional — without it a conservative 2^31/t key stride is used —
     but passing it keeps the sort key dense.
     max_unique: optional static bound on the distinct-id count of
-    ids_flat (optim.rowwise.unique_bound). When capacity provably
-    covers it (no overflow possible), the send scatters keep the
-    indices_are_sorted fast path; otherwise overflowed ks interleave
-    out-of-bounds positions between ascending valid slots and the
-    sorted hint would be a lie (implementation-defined results).
+    ids_flat (optim.rowwise.unique_bound); callers use it to size
+    capacity and to enable the overflow-free fast paths downstream.
 
     ONE sort, not two: the key is the mod-sharded STORAGE row
     (owner * Vs + local_row — exactly to_mod_sharded's layout), so a
     single sort yields dedup adjacency (equal ids adjacent), owner
     grouping (owner-major), and ascending local rows within each owner
-    (sequential gather locality on the serving shard). Bucket ranks
-    then fall out of one searchsorted against the owner starts, and
-    every downstream scatter has sorted unique indices.
+    (sequential gather locality on the serving shard). Owner bucket
+    boundaries in compact-unique space fall out of one tiny
+    searchsorted over the sorted owners; all per-position quantities
+    (bucket rank, exchange slot) are elementwise from there — no
+    segment_max, no cummax scan, no slot scatters (the previous
+    formulation's scan+scatter pipeline measured ~17 ms/step at criteo
+    bench shapes, scripts/trace_sharded.py 2026-08-20).
     """
     n = ids_flat.shape[0]
     t = _axis_size(axis)
@@ -90,65 +107,60 @@ def build_routing(ids_flat: jax.Array, capacity: int, axis: str,
     is_first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
     seg = (jnp.cumsum(is_first) - 1).astype(jnp.int32)   # (n,) in [0, n)
     n_unique = seg[-1] + 1
-    uk = jax.ops.segment_max(sk, seg, num_segments=n,
-                             indices_are_sorted=True)    # unique keys, ascending
-    k_valid = jnp.arange(n) < n_unique
 
-    # ---- owner / local row / in-bucket rank (no second sort) ----
-    owner = jnp.where(k_valid, uk // stride, t)          # invalid -> bucket t
-    local_row = uk % stride
-    start = jnp.searchsorted(owner, jnp.arange(t + 1))
-    rank = (jnp.arange(n, dtype=jnp.int32)
-            - start[jnp.clip(owner, 0, t)].astype(jnp.int32))
+    # ---- owner bucket boundaries (compact-unique space) ----
+    owner_pos = (sk // stride).astype(jnp.int32)          # (n,) sorted
+    local_pos = (sk % stride).astype(jnp.int32)
+    # first sorted position with owner >= o; that position (if < n) is a
+    # run start => is_first => seg there counts the uniques before it
+    bpos = jnp.searchsorted(owner_pos, jnp.arange(t + 1, dtype=jnp.int32)
+                            ).astype(jnp.int32)
+    seg_ext = jnp.concatenate([seg, n_unique[None]])
+    start = seg_ext[bpos]                                 # (t+1,) uniques < o
+    counts = start[1:] - start[:-1]
+    overflow = jnp.sum(jnp.maximum(counts - capacity, 0)).astype(jnp.int32)
 
-    in_cap = rank < capacity
-    send_ok = k_valid & in_cap
-    overflow = jnp.sum(k_valid & ~in_cap).astype(jnp.int32)
-
-    # signed exchange slot per unique k: one int32 array serves the
-    # lookup's position gather AND the grad return's scatter positions
-    # (replaces the separate owner_k/rank_k/valid_k arrays — the old
-    # bool valid_k cost a second 2.56M-wide gather in routed_lookup,
-    # measured 20.6 ms at criteo bench shapes).
-    slot_k = jnp.where(send_ok, owner * capacity + rank, -1).astype(jnp.int32)
-
-    # ---- assemble send buffer of LOCAL row ids (T, C) ----
-    # send positions owner*C + rank strictly increase over valid k ->
-    # sorted unique scatter; invalid -> out of bounds, dropped.
-    sorted_hint = capacity >= min(n, max_unique or n)
-    send_pos = jnp.where(send_ok, owner * capacity + rank, t * capacity)
-    send_buf = jnp.full((t * capacity,), -1, jnp.int32).at[send_pos].set(
-        local_row.astype(jnp.int32), mode="drop", unique_indices=True,
-        indices_are_sorted=sorted_hint).reshape(t, capacity)
-
-    # ---- exchange: shard s receives the rows peers want from it ----
-    recv_ids = jax.lax.all_to_all(send_buf, axis, 0, 0, tiled=False)
-    recv_valid = recv_ids >= 0
-
-    # exchange slot per ORIGINAL position, GATHER-FREE: the slot is
-    # recomputed elementwise in sorted-position space (owner from the
-    # sorted key, rank = seg minus the owner run's first seg via a
-    # cummax forward-fill), then ONE int-pair sort inverts the
-    # permutation. Every indexed formulation measured latency-bound at
-    # criteo bench shapes: scatter+gather 22+18 ms, take(slot_k, seg)
-    # 49.6 ms (XLA refused to materialize slot_k and recomputed the
-    # searchsorted per element); this is elementwise + a ~5 ms sort.
-    owner_pos = (sk // stride).astype(jnp.int32)
-    run_first = jnp.concatenate(
-        [jnp.ones((1,), bool), owner_pos[1:] != owner_pos[:-1]])
-    seg_run_start = jax.lax.cummax(jnp.where(run_first, seg, 0))
-    rank_pos = seg - seg_run_start
+    # per-position rank within the owner bucket: seg minus the owner's
+    # first segment. t is static, so a short select chain replaces the
+    # old cummax forward-fill (an 11 ms scan at criteo bench shapes).
+    start_of_owner = jnp.zeros_like(seg)
+    for o in range(1, t):
+        start_of_owner = jnp.where(owner_pos >= o, start[o], start_of_owner)
+    rank_pos = seg - start_of_owner
     slot_of_sorted = jnp.where(rank_pos < capacity,
                                owner_pos * capacity + rank_pos, -1)
+    # exchange slot per ORIGINAL position: ONE int-pair sort inverts the
+    # permutation (every indexed formulation measured latency-bound).
     _, idx_of_pos = jax.lax.sort_key_val(order, slot_of_sorted)
+
+    # ---- compact local-row stream + slice-assembled send buckets ----
+    # compaction by sort: first occurrences keep their segment index as
+    # the key, duplicates push to the back => val k = unique k's local
+    # row. (Replaces segment_max into unique-slot space.)
+    ckey = jnp.where(is_first, seg, n)
+    _, lk = jax.lax.sort_key_val(ckey, local_pos)
+    # pad so start[o] + C never clamps (start[o] <= n_unique <= n)
+    lk_pad = jnp.concatenate([lk, jnp.full((capacity,), stride, jnp.int32)])
+    bucket = jnp.stack([
+        jax.lax.dynamic_slice(lk_pad, (start[o],), (capacity,))
+        for o in range(t)])                               # (t, C)
+    jcap = jnp.arange(capacity, dtype=jnp.int32)[None, :]
+    # mask slots past the owner's unique count (and past capacity) to
+    # the ascending out-of-range sentinel
+    send_ids = jnp.where(jcap < counts[:, None], bucket, stride)
+
+    # ---- exchange: shard s receives the rows peers want from it ----
+    recv_ids = jax.lax.all_to_all(send_ids, axis, 0, 0, tiled=False)
+    recv_valid = recv_ids < stride
 
     return Routing(
         order=order.astype(jnp.int32),
         seg=seg,
         idx_of_pos=idx_of_pos,
-        slot_k=slot_k,
+        start=start,
         recv_ids=recv_ids,
         recv_valid=recv_valid,
+        sentinel=stride,
         overflow=overflow,
     )
 
@@ -159,9 +171,8 @@ def routed_lookup(table_local: jax.Array, routing: Routing, axis: str,
     original flat positions (zeros for overflow ids).
 
     assume_no_overflow: pass True when capacity STATICALLY covers the
-    shard's distinct-id bound (capacity >= min(n, unique_bound) — the
-    same condition as build_routing's sorted-scatter hint), i.e. every
-    idx_of_pos is provably >= 0. Skips the overflow mask: the full
+    shard's distinct-id bound (capacity >= min(n, unique_bound)), i.e.
+    every idx_of_pos is provably >= 0. Skips the overflow mask: the full
     (n, W) select, its VJP select on the backward pass, and the pred
     broadcast layout copies measured ~43 ms/step at criteo bench
     shapes."""
@@ -170,13 +181,12 @@ def routed_lookup(table_local: jax.Array, routing: Routing, axis: str,
     out_dtype = out_dtype or table_local.dtype
 
     # serve local rows to each requesting peer (recv_ids ascend within
-    # each peer bucket -> near-sequential HBM gather). Unrequested
-    # slots serve row 0's data UNMASKED: no consumer ever gathers them
-    # (idx below only points at valid slots), and dropping the
-    # where(recv_valid) select saved a full (n, W) pass (~10 ms at
-    # criteo bench shapes).
-    safe = jnp.maximum(routing.recv_ids, 0)
-    served = jnp.take(table_local, safe.reshape(-1), axis=0,
+    # each peer bucket -> near-sequential HBM gather). Empty slots hold
+    # the out-of-range sentinel; mode="clip" serves the last row's data
+    # UNMASKED: no consumer ever gathers them (idx below only points at
+    # valid slots), and dropping the where(recv_valid) select saved a
+    # full (n, W) pass (~10 ms at criteo bench shapes).
+    served = jnp.take(table_local, routing.recv_ids.reshape(-1), axis=0,
                       mode="clip").reshape(t, c, w).astype(out_dtype)
 
     # reverse exchange: my requested rows come back
@@ -198,57 +208,54 @@ def grad_return(drows_flat: jax.Array, routing: Routing, axis: str,
     """Reverse path: dedup-sum grads per unique id and all-to-all them
     back to the owner shard.
 
-    Returns (row_ids (T*C,), grads (T*C, W)) in the OWNER's local row
-    space, sentinel -1 rows for empty slots (their grads are exact
-    zeros) — the contract of optim.rowwise.rowwise_update, which may
-    therefore be called with sentinel_grads_zero=True.
+    Returns (row_ids (T, C), grads (T, C, W)) in the OWNER's local row
+    space: row_ids is exactly `routing.recv_ids` (ascending per bucket,
+    out-of-range sentinel for empty slots — see Routing); grads are the
+    per-bucket dedup-summed row grads. Empty/sentinel slots carry
+    GARBAGE grads (a neighbouring owner's rows, NOT zeros): consumers
+    must drop slots by the id range — optim.rowwise.
+    bucketed_rowwise_update and dcn_mesh's dense scatter both do.
+    A row requested by several peers appears once per bucket with that
+    bucket's partial sum; the cross-bucket total is formed by the
+    consumer (the bucketed apply kernel sums buckets before the
+    optimizer math).
 
     max_unique: optional static bound on this shard's distinct-id count
     (e.g. optim.rowwise.unique_bound of the local batch); shrinks the
-    compact dedup buffer and the scatter slot count.
+    compact dedup buffer.
+
+    The send buffers are T static dynamic-slices of the compact
+    segment-sum output (owner o's uniques occupy [start[o],
+    start[o]+count[o]) of the sorted unique stream) — no exchange-slot
+    scatter exists on this path any more (the old compact->slot scatter
+    measured 9.2 ms/step at criteo bench shapes).
 
     bf16 grads with a 128-multiple width take the fused Pallas
-    sorted-segment kernel (compact slots, then ONE sorted-unique
-    scatter into the exchange buckets) — the XLA segment_sum this
-    replaces materialized an (n, W) f32 scatter-add, measured 80.9 ms
-    vs ~19 ms at criteo bench shapes (scripts/trace_sharded.py). Other
-    dtypes keep the exact-f32 segment_sum path (one bf16-class rounding
-    either way for bf16; f32 payloads stay exact).
+    sorted-segment kernel; other dtypes keep the exact-f32 segment_sum
+    path (one bf16-class rounding either way for bf16; f32 payloads
+    stay exact).
     """
     n, w = drows_flat.shape
     t, c = routing.recv_ids.shape
 
     dsorted = jnp.take(drows_flat, routing.order, axis=0, mode="clip")
-    send_pos = jnp.where(routing.slot_k >= 0, routing.slot_k, t * c)
-    # same no-overflow-possible condition as build_routing: with
-    # overflow, dropped out-of-bounds positions interleave between
-    # ascending valid slots and the sorted hint would be a lie.
-    sorted_hint = c >= min(n, max_unique or n)
+    m = min(n, int(max_unique)) if max_unique else n
 
     if drows_flat.dtype == jnp.bfloat16 and w % 128 == 0:
         from cffm_tpu.ops.sorted_segment import EB, sorted_segment_sum_by_seg
-        m = min(n, max_unique) if max_unique else n
-        m_pad = -(-m // EB) * EB
+        # +C tail so the dynamic slices below never clamp
+        m_pad = -(-m // EB) * EB + -(-c // EB) * EB
         gsum = sorted_segment_sum_by_seg(routing.seg, dsorted, m_pad)
-        # compact slot k -> exchange slot owner*C+rank: ascending over
-        # valid k -> sorted unique scatter-SET. Compact slots past the
-        # unique count carry send_pos t*c and drop.
-        pos = (jnp.concatenate([send_pos,
-                                jnp.full((m_pad - n,), t * c, jnp.int32)])
-               if m_pad > n else send_pos[:m_pad])
-        send = jnp.zeros((t * c, w), jnp.bfloat16).at[pos].set(
-            gsum, mode="drop", unique_indices=True,
-            indices_are_sorted=sorted_hint).reshape(t, c, w)
     else:
-        guniq = jax.ops.segment_sum(dsorted.astype(jnp.float32), routing.seg,
-                                    num_segments=n, indices_are_sorted=True)
-        send = jnp.zeros((t * c, w), drows_flat.dtype).at[send_pos].set(
-            guniq.astype(drows_flat.dtype), mode="drop", unique_indices=True,
-            indices_are_sorted=sorted_hint).reshape(t, c, w)
+        gsum = jax.ops.segment_sum(
+            dsorted.astype(jnp.float32), routing.seg, num_segments=m + c,
+            indices_are_sorted=True).astype(drows_flat.dtype)
 
+    send = jnp.stack([
+        jax.lax.dynamic_slice(gsum, (routing.start[o], 0), (c, w))
+        for o in range(t)])                               # (t, C, W)
     got = jax.lax.all_to_all(send, axis, 0, 0, tiled=False)  # (T, C, W)
-    row_ids = jnp.where(routing.recv_valid, routing.recv_ids, -1).reshape(-1)
-    return row_ids, got.reshape(t * c, w)
+    return routing.recv_ids, got
 
 
 # ---------------------------------------------------------------------------

@@ -26,9 +26,10 @@ from jax import shard_map
 from cffm_tpu import metrics
 from cffm_tpu.config import TrainConfig
 from cffm_tpu.models import cffm as model_lib
-from cffm_tpu.optim.rowwise import (make_dense_optimizer, rowwise_init,
-                                    rowwise_update, scale_updates,
-                                    schedule_factor, sr_keys, unique_bound)
+from cffm_tpu.optim.rowwise import (bucketed_rowwise_update,
+                                    make_dense_optimizer, rowwise_init,
+                                    scale_updates, schedule_factor, sr_keys,
+                                    unique_bound)
 from cffm_tpu.parallel import sharded_embedding as se
 from cffm_tpu.train import TrainState, merge_dense_params, split_dense_params
 
@@ -170,13 +171,14 @@ def _local_step(params, dense_opt_state, sparse_opt_state, step_no,
                                     scale_updates(updates, lrf))
     new_params = merge_dense_params(params, new_dense)
 
-    # sparse: reverse all-to-all, per-row update local to the shard
+    # sparse: reverse all-to-all, per-row update local to the shard.
+    # grad_return hands back the per-peer buckets (T, C) / (T, C, W);
+    # the bucketed update consumes them directly — no re-sort/re-dedup
+    # (cross-peer duplicate rows are summed inside the apply kernel).
     dbg("grad-return-a2a:enter")
     row_ids, row_grads = se.grad_return(demb.reshape(-1, w), routing, AXIS,
                                         max_unique=batch_unique)
     dbg("grad-return-a2a:exit")
-    # distinct local rows are bounded by the shard's row count
-    max_u = int(table_local.shape[0]) + 1
     new_sparse = dict(sparse_opt_state)
     sk_emb, sk_lin = sr_keys(mcfg.table_dtype, cfg.optim, step_no,
                              cfg.data.seed)
@@ -185,19 +187,17 @@ def _local_step(params, dense_opt_state, sparse_opt_state, step_no,
         shard = jax.lax.axis_index(AXIS)
         sk_emb = jax.random.fold_in(sk_emb, shard)
         sk_lin = jax.random.fold_in(sk_lin, shard)
-    new_table, new_sparse["embed"] = rowwise_update(
+    new_table, new_sparse["embed"] = bucketed_rowwise_update(
         table_local, sparse_opt_state["embed"], row_ids, row_grads, cfg.optim,
-        max_unique=max_u, lr_scale=lrf, sr_key=sk_emb,
-        sentinel_grads_zero=True)
+        lr_scale=lrf, sr_key=sk_emb)
     new_params = dict(new_params, embed={"table": new_table})
     if separate_linear:
         lrow_ids, lrow_grads = se.grad_return(
             dlin.reshape(-1, 1).astype(jnp.float32), routing, AXIS,
             max_unique=batch_unique)
-        new_lin, new_sparse["linear"] = rowwise_update(
+        new_lin, new_sparse["linear"] = bucketed_rowwise_update(
             params["linear"]["table"], sparse_opt_state["linear"],
-            lrow_ids, lrow_grads, cfg.optim, max_unique=max_u, lr_scale=lrf,
-            sr_key=sk_lin, sentinel_grads_zero=True)
+            lrow_ids, lrow_grads, cfg.optim, lr_scale=lrf, sr_key=sk_lin)
         new_params = dict(new_params, linear=dict(new_params["linear"], table=new_lin))
 
     step_metrics = {

@@ -29,8 +29,9 @@ from cffm_tpu import metrics
 from cffm_tpu.config import get_config
 from cffm_tpu.models import cffm as model_lib
 from cffm_tpu.models.cffm import field_offsets
-from cffm_tpu.optim.rowwise import (make_dense_optimizer, rowwise_update,
-                                    schedule_factor, scale_updates, sr_keys)
+from cffm_tpu.optim.rowwise import (bucketed_rowwise_update,
+                                    make_dense_optimizer, schedule_factor,
+                                    scale_updates, sr_keys)
 from cffm_tpu.parallel import sharded_embedding as se
 from cffm_tpu.parallel.mesh import make_mesh
 from cffm_tpu.parallel.sharded_train import create_sharded_state
@@ -109,14 +110,13 @@ def main():
         row_ids, row_grads = se.grad_return(demb.reshape(-1, w), routing, AXIS)
         if stage == "gradret":
             return loss + row_ids.sum() + row_grads.sum()
-        max_u = int(table_local.shape[0]) + 1
         sk_emb, _ = sr_keys(mcfg.table_dtype, cfg.optim, step_no,
                             cfg.data.seed)
         if sk_emb is not None:
             sk_emb = jax.random.fold_in(sk_emb, jax.lax.axis_index(AXIS))
-        new_table, _ = rowwise_update(
+        new_table, _ = bucketed_rowwise_update(
             table_local, sparse_opt_state["embed"], row_ids, row_grads,
-            cfg.optim, max_unique=max_u, lr_scale=lrf, sr_key=sk_emb)
+            cfg.optim, lr_scale=lrf, sr_key=sk_emb)
         return loss + new_table.sum().astype(jnp.float32)
 
     repl = P()

@@ -94,8 +94,10 @@ def test_by_seg_matches_compact(n, seed):
 def test_grad_return_kernel_path_matches_f32_path():
     """sharded grad_return: bf16 Pallas-kernel path vs the exact-f32
     XLA segment_sum path, inside an 8-device shard_map (conftest CPU
-    mesh). Covers build_routing's slot_k plumbing + the compact->bucket
-    scatter. Cites parallel/sharded_embedding.grad_return."""
+    mesh). Covers build_routing's compact-slice bucket assembly — both
+    paths slice the same (start, capacity) windows, so even the
+    sentinel slots' garbage must agree across paths. Cites
+    parallel/sharded_embedding.grad_return."""
     import jax
     from jax.sharding import Mesh, PartitionSpec as P
     from jax import shard_map

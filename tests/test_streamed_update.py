@@ -216,3 +216,134 @@ def test_streamed_bf16_table(optimizer):
     if optimizer == "adagrad":
         acc = np.asarray(s_b16["accum"])
         assert np.all(acc[~touched, 0] == float(on.adagrad_init))
+
+
+# ---------------------------------------------------------------------------
+# Bucketed apply (sharded grad-return contract): ids (T, C) ascending +
+# unique per bucket with out-of-range sentinel; grads (T, C, W) per-bucket
+# partial sums, GARBAGE in sentinel slots. Cross-bucket duplicates must be
+# summed before the optimizer math (optim.rowwise.bucketed_rowwise_update).
+# ---------------------------------------------------------------------------
+
+
+def _mk_buckets(seed, t=4, c=256, v=V, w=W, dup_row=None):
+    """Random per-bucket unique ascending ids + grads; sentinel tail with
+    garbage grads. dup_row: a row id forced into EVERY bucket (cross-peer
+    duplicate)."""
+    rng = np.random.default_rng(seed)
+    ids = np.full((t, c), v + 7, np.int32)  # sentinel (> v: stride-style)
+    grads = rng.normal(size=(t, c, w)).astype(np.float32)  # garbage incl. tail
+    flat_ids, flat_grads = [], []
+    for o in range(t):
+        cnt = int(rng.integers(c // 4, c - 1))
+        uniq = np.sort(rng.choice(v, size=cnt, replace=False)).astype(np.int32)
+        if dup_row is not None:
+            uniq = np.unique(np.append(uniq, dup_row)).astype(np.int32)
+            cnt = len(uniq)
+        ids[o, :cnt] = uniq
+        g = (rng.normal(size=(cnt, w)) * 0.1).astype(np.float32)
+        grads[o, :cnt] = g
+        flat_ids.append(uniq)
+        flat_grads.append(g)
+    return (ids, grads,
+            np.concatenate(flat_ids), np.concatenate(flat_grads, axis=0))
+
+
+@pytest.mark.parametrize("optimizer", ["adagrad", "sgd", "rowwise_adam"])
+def test_bucketed_matches_flat_dedup(optimizer):
+    """Bucketed streamed kernel == flat scatter path on the globally
+    dedup-summed equivalent stream (incl. a row duplicated in every
+    bucket: partials must sum BEFORE the nonlinear update)."""
+    from cffm_tpu.optim.rowwise import bucketed_rowwise_update
+
+    rng = np.random.default_rng(11)
+    table = rng.normal(size=(V, W)).astype(np.float32)
+    ids, grads, flat_ids, flat_grads = _mk_buckets(12, dup_row=77)
+
+    on = OptimizerConfig(sparse_optimizer=optimizer, sparse_lr=0.05,
+                         streamed_update="on")
+    off = dataclasses.replace(on, streamed_update="off")
+
+    st = rowwise_init(jnp.asarray(table), on)
+    t_b, s_b = bucketed_rowwise_update(
+        jnp.asarray(table), st, jnp.asarray(ids), jnp.asarray(grads), on)
+    # ground truth: flat ids/grads (valid entries only), exact scatter path
+    t_f, s_f = rowwise_update(jnp.asarray(table), st, jnp.asarray(flat_ids),
+                              jnp.asarray(flat_grads), off)
+
+    d_b = np.asarray(t_b) - table
+    d_f = np.asarray(t_f) - table
+    scale = np.abs(d_f).max()
+    np.testing.assert_allclose(d_b, d_f, atol=0.015 * scale, rtol=0.015)
+    touched = np.zeros(V, bool)
+    touched[flat_ids] = True
+    np.testing.assert_array_equal(np.asarray(t_b)[~touched], table[~touched])
+    if optimizer == "adagrad":
+        np.testing.assert_allclose(np.asarray(s_b["accum"]),
+                                   np.asarray(s_f["accum"]),
+                                   rtol=1.5e-2, atol=1e-6)
+    if optimizer == "rowwise_adam":
+        np.testing.assert_allclose(np.asarray(s_b["m"]), np.asarray(s_f["m"]),
+                                   rtol=1.5e-2, atol=3e-4)
+        np.testing.assert_allclose(np.asarray(s_b["v"]), np.asarray(s_f["v"]),
+                                   rtol=1.5e-2, atol=1e-7)
+        np.testing.assert_array_equal(np.asarray(s_b["m"])[~touched], 0.0)
+
+
+def test_bucketed_clip_matches_clipped_flat():
+    """opt.clip_norm clips the CROSS-BUCKET total inside the kernel —
+    must match clip_rows on the flat dedup-summed grads."""
+    from cffm_tpu.optim.rowwise import bucketed_rowwise_update
+
+    rng = np.random.default_rng(13)
+    table = rng.normal(size=(V, W)).astype(np.float32)
+    ids, grads, flat_ids, flat_grads = _mk_buckets(14, dup_row=9)
+    # blow up the duplicate row's partials so only the TOTAL exceeds clip
+    for o in range(ids.shape[0]):
+        j = int(np.searchsorted(ids[o], 9))
+        grads[o, j] = 0.4
+
+    on = OptimizerConfig(sparse_optimizer="adagrad", sparse_lr=0.05,
+                         streamed_update="on", clip_norm=1.0)
+    off = dataclasses.replace(on, streamed_update="off")
+    flat_grads2 = flat_grads.copy()
+    flat_grads2[flat_ids == 9] = 0.4
+
+    st = rowwise_init(jnp.asarray(table), on)
+    t_b, s_b = bucketed_rowwise_update(
+        jnp.asarray(table), st, jnp.asarray(ids), jnp.asarray(grads), on)
+    t_f, s_f = rowwise_update(jnp.asarray(table), st, jnp.asarray(flat_ids),
+                              jnp.asarray(flat_grads2), off)
+    d_b = np.asarray(t_b) - table
+    d_f = np.asarray(t_f) - table
+    scale = np.abs(d_f).max()
+    np.testing.assert_allclose(d_b, d_f, atol=0.015 * scale, rtol=0.015)
+    np.testing.assert_allclose(np.asarray(s_b["accum"]),
+                               np.asarray(s_f["accum"]),
+                               rtol=1.5e-2, atol=1e-6)
+
+
+def test_bucketed_fallback_flattens():
+    """Unsupported bucket shapes (here: W=1 linear table) take the
+    flatten->rowwise_update fallback and still drop sentinels."""
+    from cffm_tpu.ops.streamed_update import bucketed_tile
+    from cffm_tpu.optim.rowwise import bucketed_rowwise_update
+
+    assert bucketed_tile(V, 1, 4, 256) == 0  # width not a 128-multiple
+    assert bucketed_tile(V, W, 4, 200) == 0  # c not EB-aligned
+    assert bucketed_tile(V, W, 4, 128) == 0  # c < winb*EB for every tile
+    assert bucketed_tile(V, W, 4, 256) in (64, 128)
+    assert bucketed_tile(V, W, 1, 1024) == 512
+
+    rng = np.random.default_rng(15)
+    table = rng.normal(size=(V, 1)).astype(np.float32)
+    ids, grads, flat_ids, flat_grads = _mk_buckets(16, w=1)
+    on = OptimizerConfig(sparse_optimizer="adagrad", sparse_lr=0.05,
+                         streamed_update="on")
+    st = rowwise_init(jnp.asarray(table), on)
+    t_b, _ = bucketed_rowwise_update(
+        jnp.asarray(table), st, jnp.asarray(ids), jnp.asarray(grads), on)
+    t_f, _ = rowwise_update(jnp.asarray(table), st, jnp.asarray(flat_ids),
+                            jnp.asarray(flat_grads), on)
+    np.testing.assert_allclose(np.asarray(t_b), np.asarray(t_f),
+                               rtol=1e-5, atol=1e-6)
