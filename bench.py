@@ -25,7 +25,8 @@ import time
 
 def _run_once(batch: int, feed: str = "staged",
               table_dtype: str = "float32",
-              config: str = "criteo_kaggle") -> float:
+              config: str = "criteo_kaggle",
+              sparse_optimizer: str | None = None) -> float:
     """Train-step examples/s at this batch size (raises on device error).
 
     feed="staged": synthetic arrays pre-staged on device (pure device
@@ -45,6 +46,10 @@ def _run_once(batch: int, feed: str = "staged",
     cfg = dataclasses.replace(
         cfg, data=dataclasses.replace(cfg.data, batch_size=batch),
         model=dataclasses.replace(cfg.model, table_dtype=table_dtype))
+    if sparse_optimizer:
+        cfg = dataclasses.replace(
+            cfg, optim=dataclasses.replace(cfg.optim,
+                                           sparse_optimizer=sparse_optimizer))
 
     if feed in ("reader", "prehashed"):
         return _run_reader_fed(cfg, batch, prehashed=(feed == "prehashed"))
@@ -294,6 +299,11 @@ def main(argv=None):
                     help="named config to bench (criteo_kaggle, avazu, ...); "
                     "the metric name carries the config so last-good records "
                     "stay per-config")
+    ap.add_argument("--sparse_optimizer", default=None,
+                    choices=(None, "adagrad", "adam", "rowwise_adam", "sgd"),
+                    help="override the config's sparse optimizer (the "
+                    "rowwise_adam silicon number rides the sharded feed); "
+                    "non-default choices get their own last-good key")
     ap.add_argument("--batch", type=int, default=65536,
                     help="starting batch size (falls back down a ladder "
                     "through the known-good 49152/32768 rungs on OOM)")
@@ -318,8 +328,11 @@ def main(argv=None):
             "error": f"timeout after {args.timeout}s "
                      "(device/relay unresponsive)",
         }
-        _attach_last_good(out, args.feed if args.table_dtype == "float32"
-                          else f"{args.feed}+{args.table_dtype}")
+        lg = (args.feed if args.table_dtype == "float32"
+              else f"{args.feed}+{args.table_dtype}")
+        if args.sparse_optimizer:
+            lg = f"{lg}+{args.sparse_optimizer}"
+        _attach_last_good(out, lg)
         print(json.dumps(out), flush=True)
         os._exit(0)
 
@@ -344,7 +357,8 @@ def main(argv=None):
         try:
             value = _run_once(batch, feed=args.feed,
                               table_dtype=args.table_dtype,
-                              config=args.config)
+                              config=args.config,
+                              sparse_optimizer=args.sparse_optimizer)
             error = None
             break
         except Exception as e:  # noqa: BLE001 — resilience is the point
@@ -379,10 +393,23 @@ def main(argv=None):
         out["feed"] = args.feed
     if args.table_dtype != "float32":
         out["table_dtype"] = args.table_dtype
+    if args.sparse_optimizer:
+        out["sparse_optimizer"] = args.sparse_optimizer
+    if args.feed == "sharded":
+        # T=1 caveat (VERDICT r3 weak #6): this runs the full routed
+        # program on ONE chip — routing/dedup/update compute is real,
+        # but the four all-to-alls are self-copies with ZERO
+        # interconnect cost. It is the per-chip COMPUTE number of the
+        # scaled config, NOT a projected 8-chip per-chip rate; see
+        # docs/SCALING_MODEL.md for the exchange-time model.
+        out["caveat"] = ("T=1: exchange collectives are free self-copies; "
+                         "see docs/SCALING_MODEL.md")
     # bf16-table runs get their own last-good key (a variant must not
     # overwrite the flagship staged f32 number).
     lg_feed = (args.feed if args.table_dtype == "float32"
                else f"{args.feed}+{args.table_dtype}")
+    if args.sparse_optimizer:
+        lg_feed = f"{lg_feed}+{args.sparse_optimizer}"
     if error:
         out["error"] = error
         _attach_last_good(out, lg_feed)

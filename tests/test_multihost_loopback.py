@@ -35,7 +35,7 @@ cfg = TrainConfig(
     model=ModelConfig(
         num_fields=4, vocab_sizes=(64, 64, 64, 64), embed_dim=8,
         cross="field_aware", conv_channels=(8,), tower_hidden=(16,),
-        compute_dtype="float32", use_pallas=False,
+        compute_dtype="float32", use_pallas=sys.argv[5] == "pallas",
     ),
     data=DataConfig(batch_size=256, num_train_steps=4, eval_batches=2, seed=0,
                     wire_format=sys.argv[4]),
@@ -50,15 +50,20 @@ print("WORKER_RESULT", int(sys.argv[2]), json.dumps(result), flush=True)
 
 @pytest.mark.skipif(os.environ.get("CFFM_SKIP_MULTIHOST") == "1",
                     reason="explicitly skipped")
-@pytest.mark.parametrize("table_axis,wire_format",
-                         [("global", "packed"), ("intra_host", "raw")])
-def test_two_process_loopback(tmp_path, table_axis, wire_format):
+@pytest.mark.parametrize("table_axis,wire_format,kernel",
+                         [("global", "packed", "jnp"),
+                          ("global", "packed", "pallas"),
+                          ("intra_host", "raw", "jnp")])
+def test_two_process_loopback(tmp_path, table_axis, wire_format, kernel):
     # "global": one flat 8-device axis, the lookup all-to-all crosses
     # process boundaries — run with the PACKED wire feed so the
     # multi-host make_array_from_process_local_data path over wire
     # dicts is exercised. "intra_host": 2D (host=2, chip=4) DCN mesh —
     # tables sharded inside each process, table grads psum'd across
     # (parallel/dcn_mesh.py, SURVEY.md M5) — the real multi-host layout.
+    # kernel="pallas" runs the flagship composition: Pallas custom_vjp
+    # (interpret mode on CPU) inside shard_map across REAL process
+    # boundaries + packed wire (VERDICT r3 weak #5).
     port = _free_port()
     coord = f"localhost:{port}"
     script = tmp_path / "worker.py"
@@ -71,7 +76,7 @@ def test_two_process_loopback(tmp_path, table_axis, wire_format):
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), coord, str(i), table_axis,
-             wire_format],
+             wire_format, kernel],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
             text=True)
         for i in range(2)
