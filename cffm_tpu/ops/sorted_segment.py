@@ -142,10 +142,12 @@ def sorted_segment_sum_compact(
     g_real = n // EB
     m_blocks = m_pad // EB
 
+    from cffm_tpu.ops.scan import cumsum_i32
     is_first = jnp.concatenate(
         [jnp.ones((1,), jnp.int32), (sid[1:] != sid[:-1]).astype(jnp.int32)])
-    seg = jnp.cumsum(is_first) - 1
-    count = seg[-1] + 1
+    seg = cumsum_i32(is_first)
+    count = seg[-1]
+    seg = seg - 1
 
     # base-256 id components, masked to first occurrences (bf16-exact)
     enc = ((sid + 1).astype(jnp.uint32) * is_first.astype(jnp.uint32))

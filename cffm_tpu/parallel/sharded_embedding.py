@@ -105,7 +105,8 @@ def build_routing(ids_flat: jax.Array, capacity: int, axis: str,
     pos = jnp.arange(n, dtype=jnp.int32)
     sk, order = jax.lax.sort_key_val(key, pos)
     is_first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
-    seg = (jnp.cumsum(is_first) - 1).astype(jnp.int32)   # (n,) in [0, n)
+    from cffm_tpu.ops.scan import cumsum_i32
+    seg = cumsum_i32(is_first.astype(jnp.int32)) - 1     # (n,) in [0, n)
     n_unique = seg[-1] + 1
 
     # ---- owner bucket boundaries (compact-unique space) ----

@@ -15,6 +15,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import json
+import math
 import time
 from typing import Any, Dict, NamedTuple, Optional
 
@@ -408,6 +409,10 @@ def run(cfg: TrainConfig, interaction_fn=None, log_fn=print) -> Dict:
             ckpt_mgr.save(step + 1, state, cfg, num_shards=num_shards)
 
     result = run_eval()
+    if math.isnan(last_loss) and cfg.data.num_train_steps > start_step:
+        # log_every=0 never drains a step's metrics; report the final
+        # step's loss instead of a misleading NaN (one D2H readback).
+        last_loss = float(m["loss"])
     result["final_train_loss"] = last_loss
     log_fn(json.dumps({"eval": result}))
     tb.scalars(cfg.data.num_train_steps,
