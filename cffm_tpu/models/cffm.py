@@ -102,6 +102,51 @@ def embedding_lookup(params: Dict, ids: jax.Array, cfg: ModelConfig):
     return emb_rows, lin_rows
 
 
+def wants_field_major(params: Dict, cfg: ModelConfig, interaction_fn) -> bool:
+    """Whether the train step should run the FIELD-MAJOR full-rows path:
+    ids transposed to (F, B) before the gather so the looked-up rows land
+    (F*B, W) — the layout the fm Pallas kernel consumes directly and the
+    per-field sort's order math prefers. Kills the two ~10 ms/step
+    (B*F,W)<->(B,F*W) retiling copies of the batch-major full-rows path
+    (traced 2026-08-20). Same gate as forward_from_rows' full-rows branch
+    plus the fm kernel attribute."""
+    return (getattr(interaction_fn, "full_rows_fm", None) is not None
+            and cfg.fused_linear and cfg.cross == "field_aware"
+            and cfg.conv_kernel % 2 == 1 and cfg.embed_dim % 2 == 0
+            and bool(params["conv"]))
+
+
+def embedding_lookup_fm(params: Dict, ids_fm: jax.Array, cfg: ModelConfig):
+    """Field-major lookup. ids_fm: (F, B) global (offset-applied) ids.
+
+    Returns (F, B, table_width) — physically the gather's natural
+    (F*B, W) row-tile layout (the 3D view is a free bitcast when
+    B % 8 == 0), so no retiling copy feeds the fm kernel."""
+    return jnp.take(params["embed"]["table"], ids_fm, axis=0, mode="clip")
+
+
+def forward_from_rows_fm(
+    params: Dict,
+    emb3: jax.Array,
+    dense: Optional[jax.Array],
+    cfg: ModelConfig,
+    *,
+    interaction_fn,
+) -> jax.Array:
+    """Field-major twin of forward_from_rows' full-rows branch: emb3 is
+    (F, B, table_width) raw physical rows; the fused kernel slices
+    fields and carries the first-order column in-kernel."""
+    cdt = jnp.dtype(cfg.compute_dtype)
+    feats, lin_sum = interaction_fn.full_rows_fm(
+        emb3.astype(cdt), params["conv"], cfg)
+    if dense is not None and cfg.num_dense > 0:
+        feats = jnp.concatenate([feats, dense.astype(cdt)], axis=-1)
+    logits = _tower(params, feats, cfg).astype(jnp.float32)
+    logits = logits + lin_sum
+    logits = logits + params["linear"]["bias"].astype(jnp.float32)
+    return logits
+
+
 def _tower(params: Dict, x: jax.Array, cfg: ModelConfig) -> jax.Array:
     layers = params["tower"]
     for layer in layers[:-1]:

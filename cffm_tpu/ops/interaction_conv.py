@@ -81,6 +81,16 @@ def _build_et(e_ref, f: int, w: int, bt: int):
     return e_ref[...].T.reshape(f, w, bt)
 
 
+def _build_et_fm(e_ref):
+    """Field-major E block (F, Bt, W) -> ET value (F, W, Bt).
+
+    The fm layout's block is F contiguous (Bt, W) slabs (~0.6 MB each
+    at bench shapes — far above the ~1.2KB strided-DMA pathology the
+    flat-2D rule guards against), and the ET build becomes F batched
+    2D transposes instead of one big transpose + reshape."""
+    return jnp.swapaxes(e_ref[...], 1, 2)
+
+
 def _build_m2t(et, m2t, cfg: ModelConfig, p_pad: int, bt: int):
     """Cross map, pair-transposed: M2T (d + 2*half, P_pad, Bt).
 
@@ -120,7 +130,8 @@ def _build_m2t(et, m2t, cfg: ModelConfig, p_pad: int, bt: int):
 
 
 def _fwd_kernel(e_ref, w2_ref, *refs, cfg: ModelConfig,
-                p_pad: int, bt: int, c1: int, w_phys: int, lin: bool):
+                p_pad: int, bt: int, c1: int, w_phys: int, lin: bool,
+                fm: bool = False):
     f, d, k = cfg.num_fields, cfg.embed_dim, cfg.conv_kernel
     kw = k + 1  # tap window width for the 2-stacked-output trick
     if lin:
@@ -128,7 +139,7 @@ def _fwd_kernel(e_ref, w2_ref, *refs, cfg: ModelConfig,
     else:
         (y_ref,), m2t = refs[:-1], refs[-1]
 
-    et = _build_et(e_ref, f, w_phys, bt)
+    et = _build_et_fm(e_ref) if fm else _build_et(e_ref, f, w_phys, bt)
     _build_m2t(et, m2t, cfg, p_pad, bt)
 
     w2 = w2_ref[...]  # (2*C1, (k+1)*P_pad), pre-flattened on host
@@ -156,13 +167,20 @@ def _fwd_kernel(e_ref, w2_ref, *refs, cfg: ModelConfig,
 
 
 def _fwd_pallas(emb2d: jax.Array, w2: jax.Array, cfg: ModelConfig, bt: int,
-                interpret: bool, lin: bool = False):
+                interpret: bool, lin: bool = False, fm: bool = False):
     """emb2d: (B, F*w_phys) flat physical rows (w_phys inferred; equals
-    row_width on the sliced path, table_width on the full-rows path).
+    row_width on the sliced path, table_width on the full-rows path) —
+    or, when fm=True, FIELD-MAJOR (F, B, w_phys) rows (the raw layout of
+    a gather with transposed ids; kills the (B*F,W)->(B,F*W) retiling
+    copy that fed this kernel, ~10 ms/step at criteo bench shapes).
     w2: (2*C1, (k+1)*P_pad). Returns (B, C1*d) [+ (8, B) f32 lin sums]."""
-    b, fw = emb2d.shape
     f = cfg.num_fields
-    w_phys = fw // f
+    if fm:
+        _, b, w_phys = emb2d.shape
+        fw = f * w_phys
+    else:
+        b, fw = emb2d.shape
+        w_phys = fw // f
     c2, kwp = w2.shape
     c1 = c2 // 2
     kw = cfg.conv_kernel + 1
@@ -171,7 +189,7 @@ def _fwd_pallas(emb2d: jax.Array, w2: jax.Array, cfg: ModelConfig, bt: int,
     dtype = emb2d.dtype
 
     kernel = functools.partial(_fwd_kernel, cfg=cfg, p_pad=p_pad, bt=bt,
-                               c1=c1, w_phys=w_phys, lin=lin)
+                               c1=c1, w_phys=w_phys, lin=lin, fm=fm)
     out_specs = [pl.BlockSpec((bt, c1 * d), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)]
     out_shape = [jax.ShapeDtypeStruct((b, c1 * d), dtype)]
@@ -179,11 +197,15 @@ def _fwd_pallas(emb2d: jax.Array, w2: jax.Array, cfg: ModelConfig, bt: int,
         out_specs.append(pl.BlockSpec((8, bt), lambda i: (0, i),
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((8, b), jnp.float32))
+    e_spec = (pl.BlockSpec((f, bt, w_phys), lambda i: (0, i, 0),
+                           memory_space=pltpu.VMEM) if fm
+              else pl.BlockSpec((bt, fw), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM))
     outs = pl.pallas_call(
         kernel,
         grid=(b // bt,),
         in_specs=[
-            pl.BlockSpec((bt, fw), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            e_spec,
             pl.BlockSpec((c2, kwp), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
@@ -204,7 +226,8 @@ def _fwd_pallas(emb2d: jax.Array, w2: jax.Array, cfg: ModelConfig, bt: int,
 
 
 def _bwd_kernel(e_ref, wr_ref, g_ref, *refs, cfg: ModelConfig,
-                p_pad: int, bt: int, c1: int, w_phys: int, lin: bool):
+                p_pad: int, bt: int, c1: int, w_phys: int, lin: bool,
+                fm: bool = False):
     f, d, k = cfg.num_fields, cfg.embed_dim, cfg.conv_kernel
     fa = cfg.cross == "field_aware"
     half = k // 2
@@ -214,7 +237,7 @@ def _bwd_kernel(e_ref, wr_ref, g_ref, *refs, cfg: ModelConfig,
         de_ref, dw_ref, m2t, dm2, gp = refs
 
     # Remat forward layout stages.
-    et = _build_et(e_ref, f, w_phys, bt)
+    et = _build_et_fm(e_ref) if fm else _build_et(e_ref, f, w_phys, bt)
     _build_m2t(et, m2t, cfg, p_pad, bt)
 
     # g (Bt, C1*d) -> gp (d + 2*half, C1, Bt) zero-padded halo.
@@ -287,8 +310,14 @@ def _bwd_kernel(e_ref, wr_ref, g_ref, *refs, cfg: ModelConfig,
                  for j in range(f)] + tail,
                 axis=0,
             ))  # (w_phys, Bt)
-        de_full = jnp.concatenate(rows, axis=0)  # (F*w_phys, Bt)
-        de_ref[...] = de_full.T.astype(de_ref.dtype)
+        if fm:
+            # field-major output (F, Bt, w_phys): stack + batched 2D
+            # transpose, the exact inverse of _build_et_fm
+            de3 = jnp.stack(rows, axis=0)  # (F, w_phys, Bt)
+            de_ref[...] = jnp.swapaxes(de3, 1, 2).astype(de_ref.dtype)
+        else:
+            de_full = jnp.concatenate(rows, axis=0)  # (F*w_phys, Bt)
+            de_ref[...] = de_full.T.astype(de_ref.dtype)
     else:
         acc = [jnp.zeros((d, bt), jnp.float32) for _ in range(f)]
         off = 0
@@ -308,10 +337,14 @@ def _bwd_kernel(e_ref, wr_ref, g_ref, *refs, cfg: ModelConfig,
 
 
 def _bwd_pallas(emb2d, wr, g, cfg: ModelConfig, bt: int, interpret: bool,
-                glin=None):
-    b, fw = emb2d.shape
+                glin=None, fm: bool = False):
     f = cfg.num_fields
-    w_phys = fw // f
+    if fm:
+        _, b, w_phys = emb2d.shape
+        fw = f * w_phys
+    else:
+        b, fw = emb2d.shape
+        w_phys = fw // f
     p_pad, kc = wr.shape
     k = cfg.conv_kernel
     c1 = kc // k
@@ -319,9 +352,13 @@ def _bwd_pallas(emb2d, wr, g, cfg: ModelConfig, bt: int, interpret: bool,
     dtype = emb2d.dtype
     lin = glin is not None
     kernel = functools.partial(_bwd_kernel, cfg=cfg, p_pad=p_pad, bt=bt,
-                               c1=c1, w_phys=w_phys, lin=lin)
+                               c1=c1, w_phys=w_phys, lin=lin, fm=fm)
+    e_spec = (pl.BlockSpec((f, bt, w_phys), lambda i: (0, i, 0),
+                           memory_space=pltpu.VMEM) if fm
+              else pl.BlockSpec((bt, fw), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM))
     in_specs = [
-        pl.BlockSpec((bt, fw), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        e_spec,
         pl.BlockSpec((p_pad, kc), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((bt, c1 * d), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ]
@@ -331,18 +368,19 @@ def _bwd_pallas(emb2d, wr, g, cfg: ModelConfig, bt: int, interpret: bool,
                                      memory_space=pltpu.VMEM))
         in_arrays.append(jnp.broadcast_to(
             glin.astype(jnp.float32)[None, :], (8, b)))
+    de_shape = (f, b, w_phys) if fm else (b, fw)
     de, dw = pl.pallas_call(
         kernel,
         grid=(b // bt,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((bt, fw), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            e_spec,
             # one dW partial per batch tile; summed outside
             pl.BlockSpec((1, k, p_pad, c1), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, fw), dtype),
+            jax.ShapeDtypeStruct(de_shape, dtype),
             jax.ShapeDtypeStruct((b // bt, k, p_pad, c1), jnp.float32),
         ],
         scratch_shapes=[
@@ -539,6 +577,69 @@ cross_conv1_lin_pallas.defvjp(_cross_conv1_lin_fwd, _cross_conv1_lin_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Field-major full-rows variant: emb arrives (F, B, table_width), the raw
+# physical layout of a gather with TRANSPOSED ids ((F*B, W) row tiles;
+# the (F, B, W) view is a free bitcast when B % 8 == 0). Grads come back
+# in the same layout and feed the field-major per-field sort with zero
+# intervening copies — this kills BOTH ~10 ms/step retiling reshapes
+# ((B*F,W)->(B,F*W) in and (B,F*W)->(B*F,W) out) that bracketed the
+# batch-major full-rows kernel at criteo bench shapes (traced 2026-08-20).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def cross_conv1_lin_fm_pallas(emb3: jax.Array, w1: jax.Array,
+                              cfg: ModelConfig, bt: int = 0,
+                              interpret: bool | None = None):
+    """Fused cross+conv1 + first-order sum on field-major full rows.
+
+    emb3: (F, B, table_width). Returns (y (B, C1, d), lin (B,) f32);
+    the custom VJP's dE is (F, B, table_width), same layout in as out.
+    """
+    (y, lin), _ = _cross_conv1_lin_fm_fwd(emb3, w1, cfg, bt, interpret)
+    return y, lin
+
+
+def _cross_conv1_lin_fm_fwd(emb3, w1, cfg, bt, interpret):
+    assert cfg.cross == "field_aware" and cfg.fused_linear
+    assert cfg.embed_dim % 2 == 0 and cfg.conv_kernel % 2 == 1
+    if interpret is None:
+        interpret = _auto_interpret()
+    f, b, w_phys = emb3.shape
+    assert f == cfg.num_fields and w_phys == cfg.table_width
+    if bt == 0:
+        bt = _pick_bt(b, emb3.dtype, cfg, w_phys=cfg.table_width)
+    p_pad = _round_up(cfg.num_pairs, 8)
+    w2 = _prep_w_fwd(w1, cfg, p_pad, emb3.dtype)
+    y2, lin8 = _fwd_pallas(emb3, w2, cfg, bt, interpret, lin=True, fm=True)
+    c1 = w1.shape[0]
+    y = y2.reshape(b, c1, cfg.embed_dim)
+    return (y, lin8[0]), (emb3, w1)
+
+
+def _cross_conv1_lin_fm_bwd(cfg, bt, interpret, res, gys):
+    emb3, w1 = res
+    gy, glin = gys
+    if interpret is None:
+        interpret = _auto_interpret()
+    b = emb3.shape[1]
+    if bt == 0:
+        bt = _pick_bt(b, emb3.dtype, cfg, bwd=True, w_phys=cfg.table_width)
+    p_pad = _round_up(cfg.num_pairs, 8)
+    wr = _prep_w_bwd(w1, cfg, p_pad, emb3.dtype)
+    c1, p, k = w1.shape
+    g2 = gy.reshape(b, c1 * cfg.embed_dim).astype(emb3.dtype)
+    de3, dwp = _bwd_pallas(emb3, wr, g2, cfg, bt, interpret, glin=glin,
+                           fm=True)
+    dw = jnp.transpose(dwp[:, :p, :], (2, 1, 0)).astype(w1.dtype)
+    return de3.astype(emb3.dtype), dw
+
+
+cross_conv1_lin_fm_pallas.defvjp(_cross_conv1_lin_fm_fwd,
+                                 _cross_conv1_lin_fm_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Drop-in interaction_fn for the model
 # ---------------------------------------------------------------------------
 
@@ -592,5 +693,13 @@ def make_interaction_fn(use_pallas: bool = True, bt: int = 0,
             return _conv_tail(y, conv_params, cfg), lin_sum
 
         interaction_fn.full_rows = full_rows
+
+        def full_rows_fm(emb3, conv_params, cfg: ModelConfig):
+            layer1 = conv_params[0]
+            y, lin_sum = cross_conv1_lin_fm_pallas(emb3, layer1["w"], cfg,
+                                                   bt, interpret)
+            return _conv_tail(y, conv_params, cfg), lin_sum
+
+        interaction_fn.full_rows_fm = full_rows_fm
 
     return interaction_fn

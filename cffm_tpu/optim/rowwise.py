@@ -122,12 +122,13 @@ def _should_stream(table: jax.Array, opt: OptimizerConfig, n_ids: int,
 
 
 def _per_field_sorted(row_ids: jax.Array, field_offsets,
-                      mask_sentinels: bool):
+                      mask_sentinels: bool, field_major: bool = False):
     """Sorted ids + global order via F independent column sorts.
 
-    row_ids is the flattening of an (B, F) id block whose column f draws
+    row_ids is the flattening of an (B, F) id block (or (F, B) when
+    field_major — the fm full-rows path) whose field-f entries draw
     from the disjoint ascending range [offsets[f], offsets[f+1]) — the
-    per-field structure of an embedding-id batch. Sorting each column
+    per-field structure of an embedding-id batch. Sorting each field
     (a batched (F, B) sort, cheaper than one length-B*F sort: the
     bitonic network is O(n log^2 n) and the F-way batch vectorizes
     across sublanes) and concatenating by field IS a global sort.
@@ -136,7 +137,7 @@ def _per_field_sorted(row_ids: jax.Array, field_offsets,
     streamed adagrad/sgd apply (S += 0).
 
     Returns (sid, order): the globally ascending ids and the matching
-    permutation of the flat (B*F,) layout. sort_key_val carries the
+    permutation of the flat input layout. sort_key_val carries the
     positions through the sort so the sorted ids come out directly —
     a separate ids[order] gather is latency-bound (measured 9 ms for
     1.28M int32 at criteo bench shapes, vs ~1 ms for the sort itself).
@@ -144,13 +145,22 @@ def _per_field_sorted(row_ids: jax.Array, field_offsets,
     offs = jnp.asarray(field_offsets, jnp.int32)
     f = offs.shape[0]
     b = row_ids.shape[0] // f
-    ids2d = row_ids.reshape(b, f)
-    if mask_sentinels:
-        ids2d = jnp.where(ids2d >= 0, ids2d, offs[None, :])
-    keys = ids2d.T  # (F, B) column sorts
+    if field_major:
+        keys = row_ids.reshape(f, b)
+        if mask_sentinels:
+            keys = jnp.where(keys >= 0, keys, offs[:, None])
+    else:
+        ids2d = row_ids.reshape(b, f)
+        if mask_sentinels:
+            ids2d = jnp.where(ids2d >= 0, ids2d, offs[None, :])
+        keys = ids2d.T  # (F, B) column sorts
     pos = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[None, :], (f, b))
     sk, sv = jax.lax.sort_key_val(keys, pos, dimension=-1)
-    order = (sv * f + jnp.arange(f, dtype=jnp.int32)[:, None]).reshape(-1)
+    if field_major:
+        # flat position of (f, b) in the fm layout is f*B + b
+        order = (sv + (jnp.arange(f, dtype=jnp.int32) * b)[:, None]).reshape(-1)
+    else:
+        order = (sv * f + jnp.arange(f, dtype=jnp.int32)[:, None]).reshape(-1)
     return sk.reshape(-1), order
 
 
@@ -200,8 +210,12 @@ def rowwise_update(
     mask_sentinels: bool = True,
     sentinel_grads_zero: bool = False,
     sr_key=None,
+    field_major: bool = False,
 ) -> Tuple[jax.Array, Dict]:
     """Apply a sparse per-row update. row_ids (N,), grads (N, W).
+    field_major: row_ids flattens an (F, B) block instead of (B, F)
+    (the fm full-rows path) — only affects the per-field sort's order
+    arithmetic.
 
     Duplicates are pre-summed; sentinel id < 0 rows are dropped.
     max_unique: optional static bound on distinct ids (incl. one slot
@@ -257,7 +271,7 @@ def rowwise_update(
         if (field_offsets is not None
                 and row_ids.shape[0] % len(tuple(field_offsets)) == 0):
             sid, order = _per_field_sorted(row_ids, field_offsets,
-                                           mask_sentinels)
+                                           mask_sentinels, field_major)
         else:
             pos = jnp.arange(safe_ids.shape[0], dtype=jnp.int32)
             sid, order = jax.lax.sort_key_val(safe_ids, pos)

@@ -125,7 +125,9 @@ def _local_step_2d(params, dense_opt_state, sparse_opt_state, step_no,
     both = (HOST, CHIP)
 
     table_local = params["embed"]["table"]
-    flat_ids = ids.reshape(-1)
+    # field-major flagship path — see sharded_train._local_step
+    fm = model_lib.wants_field_major(params, mcfg, interaction_fn)
+    flat_ids = ids.T.reshape(-1) if fm else ids.reshape(-1)
 
     batch_unique = unique_bound(mcfg.vocab_sizes, b_loc)
     no_ovf = capacity >= min(flat_ids.shape[0], batch_unique)
@@ -134,7 +136,7 @@ def _local_step_2d(params, dense_opt_state, sparse_opt_state, step_no,
         max_unique=batch_unique)
     rows = se.routed_lookup(table_local, routing, CHIP, out_dtype=cdt,
                             assume_no_overflow=no_ovf)
-    emb_rows = rows.reshape(b_loc, f, w)
+    emb_rows = rows.reshape(f, b_loc, w) if fm else rows.reshape(b_loc, f, w)
     separate_linear = mcfg.use_first_order and not mcfg.fused_linear
     if separate_linear:
         lin_rows = se.routed_lookup(params["linear"]["table"], routing, CHIP,
@@ -146,8 +148,13 @@ def _local_step_2d(params, dense_opt_state, sparse_opt_state, step_no,
 
     def loss_fn(dense_params, emb_rows, lin_rows):
         full = merge_dense_params(params, dense_params)
-        logits = model_lib.forward_from_rows(
-            full, emb_rows, lin_rows, dense, mcfg, interaction_fn=interaction_fn)
+        if fm:
+            logits = model_lib.forward_from_rows_fm(
+                full, emb_rows, dense, mcfg, interaction_fn=interaction_fn)
+        else:
+            logits = model_lib.forward_from_rows(
+                full, emb_rows, lin_rows, dense, mcfg,
+                interaction_fn=interaction_fn)
         local_sum = jnp.sum(metrics.sigmoid_bce_with_logits(logits, labels))
         global_b = b_loc * jax.lax.axis_size(HOST) * jax.lax.axis_size(CHIP)
         return local_sum / global_b, logits

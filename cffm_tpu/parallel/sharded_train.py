@@ -105,7 +105,12 @@ def _local_step(params, dense_opt_state, sparse_opt_state, step_no,
     cdt = jnp.dtype(mcfg.compute_dtype)
 
     table_local = params["embed"]["table"]   # (Vs, W) local shard
-    flat_ids = ids.reshape(-1)
+    # Field-major flagship path: routing/grad_return track positions
+    # abstractly, so transposing the flat id order swaps the recovered
+    # rows (and returned grads) into the layout the fm kernel consumes
+    # with zero retiling copies (see models.cffm.wants_field_major).
+    fm = model_lib.wants_field_major(params, mcfg, interaction_fn)
+    flat_ids = ids.T.reshape(-1) if fm else ids.reshape(-1)
 
     from cffm_tpu.utils.debugging import collective_probe
 
@@ -128,7 +133,7 @@ def _local_step(params, dense_opt_state, sparse_opt_state, step_no,
     rows = se.routed_lookup(table_local, routing, AXIS, out_dtype=cdt,
                             assume_no_overflow=no_ovf)
     dbg("lookup-a2a:exit")
-    emb_rows = rows.reshape(b_loc, f, w)
+    emb_rows = rows.reshape(f, b_loc, w) if fm else rows.reshape(b_loc, f, w)
     separate_linear = mcfg.use_first_order and not mcfg.fused_linear
     if separate_linear:
         lin_rows = se.routed_lookup(params["linear"]["table"], routing, AXIS,
@@ -140,8 +145,13 @@ def _local_step(params, dense_opt_state, sparse_opt_state, step_no,
 
     def loss_fn(dense_params, emb_rows, lin_rows):
         full = merge_dense_params(params, dense_params)
-        logits = model_lib.forward_from_rows(
-            full, emb_rows, lin_rows, dense, mcfg, interaction_fn=interaction_fn)
+        if fm:
+            logits = model_lib.forward_from_rows_fm(
+                full, emb_rows, dense, mcfg, interaction_fn=interaction_fn)
+        else:
+            logits = model_lib.forward_from_rows(
+                full, emb_rows, lin_rows, dense, mcfg,
+                interaction_fn=interaction_fn)
         # global mean logloss: local sum / global batch
         local_sum = jnp.sum(metrics.sigmoid_bce_with_logits(logits, labels))
         global_b = b_loc * jax.lax.axis_size(AXIS)

@@ -75,6 +75,15 @@ def _loss_from_rows(dense_params, emb_rows, lin_rows, batch_dense, labels, param
     return metrics.logloss(logits, labels), logits
 
 
+def _loss_from_rows_fm(dense_params, emb3, batch_dense, labels, params, cfg,
+                       interaction_fn):
+    full = merge_dense_params(params, dense_params)
+    logits = model_lib.forward_from_rows_fm(
+        full, emb3, batch_dense, cfg.model, interaction_fn=interaction_fn
+    )
+    return metrics.logloss(logits, labels), logits
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "interaction_fn"), donate_argnums=(0,))
 def train_step(
     state: TrainState,
@@ -87,27 +96,43 @@ def train_step(
     """One SGD step. Returns (new_state, metrics dict)."""
     params = state.params
     mcfg = cfg.model
-    emb_rows, lin_rows = model_lib.embedding_lookup(params, ids, mcfg)
-    # Cast rows to the compute dtype HERE so the row grads (demb) come
-    # back narrow too — halves the dedup-sort/scatter traffic.
-    emb_rows = emb_rows.astype(jnp.dtype(mcfg.compute_dtype))
-
-    separate_linear = mcfg.use_first_order and not mcfg.fused_linear
-    grad_fn = jax.value_and_grad(
-        _loss_from_rows, argnums=(0, 1, 2) if separate_linear else (0, 1),
-        has_aux=True,
-    )
-    if separate_linear:
-        (loss, logits), (dgrads, demb, dlin) = grad_fn(
-            split_dense_params(params), emb_rows, lin_rows, dense, labels, params, cfg,
-            interaction_fn,
-        )
-    else:
-        (loss, logits), (dgrads, demb) = grad_fn(
-            split_dense_params(params), emb_rows, None, dense, labels, params, cfg,
+    # Field-major fast path (flagship): transpose ids BEFORE the gather
+    # so the looked-up rows land in the layout the fm kernel and the
+    # per-field sort consume directly — no (B*F,W)<->(B,F*W) retiling.
+    fm = model_lib.wants_field_major(params, mcfg, interaction_fn)
+    if fm:
+        ids_fm = ids.T  # (F, B)
+        emb3 = model_lib.embedding_lookup_fm(params, ids_fm, mcfg)
+        emb3 = emb3.astype(jnp.dtype(mcfg.compute_dtype))
+        (loss, logits), (dgrads, demb) = jax.value_and_grad(
+            _loss_from_rows_fm, argnums=(0, 1), has_aux=True)(
+            split_dense_params(params), emb3, dense, labels, params, cfg,
             interaction_fn,
         )
         dlin = None
+        separate_linear = False
+    else:
+        emb_rows, lin_rows = model_lib.embedding_lookup(params, ids, mcfg)
+        # Cast rows to the compute dtype HERE so the row grads (demb)
+        # come back narrow too — halves the dedup-sort/scatter traffic.
+        emb_rows = emb_rows.astype(jnp.dtype(mcfg.compute_dtype))
+
+        separate_linear = mcfg.use_first_order and not mcfg.fused_linear
+        grad_fn = jax.value_and_grad(
+            _loss_from_rows, argnums=(0, 1, 2) if separate_linear else (0, 1),
+            has_aux=True,
+        )
+        if separate_linear:
+            (loss, logits), (dgrads, demb, dlin) = grad_fn(
+                split_dense_params(params), emb_rows, lin_rows, dense, labels,
+                params, cfg, interaction_fn,
+            )
+        else:
+            (loss, logits), (dgrads, demb) = grad_fn(
+                split_dense_params(params), emb_rows, None, dense, labels,
+                params, cfg, interaction_fn,
+            )
+            dlin = None
 
     # Dense update (optax), scaled by the LR schedule.
     lrf = schedule_factor(cfg.optim, state.step, cfg.data.num_train_steps)
@@ -119,7 +144,7 @@ def train_step(
     new_params = merge_dense_params(params, new_dense)
 
     # Sparse per-row updates on the touched rows.
-    flat_ids = ids.reshape(-1)
+    flat_ids = ids_fm.reshape(-1) if fm else ids.reshape(-1)
     max_u = unique_bound(mcfg.vocab_sizes, ids.shape[0])
     new_sparse = dict(state.sparse_opt_state)
     # mask_sentinels=False: the single-host data layer hashes ids
@@ -132,7 +157,7 @@ def train_step(
         new_params["embed"]["table"], state.sparse_opt_state["embed"],
         flat_ids, demb.reshape(-1, mcfg.table_width), cfg.optim,
         max_unique=max_u, field_offsets=offs, mask_sentinels=False,
-        lr_scale=lrf, sr_key=sk_emb,
+        lr_scale=lrf, sr_key=sk_emb, field_major=fm,
     )
     new_params = dict(new_params, embed={"table": new_table})
     if separate_linear:

@@ -163,6 +163,54 @@ def test_full_rows_forward_and_grad_parity():
     np.testing.assert_array_equal(ge3[..., rw + 1:], 0.0)
 
 
+@pytest.mark.slow
+def test_full_rows_fm_matches_batch_major():
+    """cross_conv1_lin_fm_pallas (field-major (F, B, W) rows) vs the
+    proven batch-major full-rows kernel: forward y/lin BIT-IDENTICAL
+    (same in-kernel math on the same values, only the block layout
+    differs) and grads equal after the layout transpose."""
+    from cffm_tpu.ops.interaction_conv import (cross_conv1_lin_fm_pallas,
+                                               cross_conv1_lin_pallas)
+
+    f, d, c1, b = 15, 16, 16, 16
+    cfg = ModelConfig(
+        num_fields=f,
+        vocab_sizes=tuple([32] * f),
+        embed_dim=d,
+        cross="field_aware",
+        conv_channels=(c1,),
+        conv_kernel=3,
+        compute_dtype="float32",
+        use_first_order=True,
+    )
+    assert cfg.fused_linear
+    wp = cfg.table_width
+    rng = np.random.default_rng(7)
+    emb2d = jnp.asarray(rng.normal(size=(b, f * wp)), jnp.float32)
+    emb3 = jnp.swapaxes(emb2d.reshape(b, f, wp), 0, 1)  # (F, B, W)
+    w1 = jnp.asarray(rng.normal(size=(c1, cfg.num_pairs, 3)), jnp.float32)
+
+    y_fm, lin_fm = cross_conv1_lin_fm_pallas(emb3, w1, cfg, 8, True)
+    y_bm, lin_bm = cross_conv1_lin_pallas(emb2d, w1, cfg, 8, True)
+    np.testing.assert_array_equal(np.asarray(y_fm), np.asarray(y_bm))
+    np.testing.assert_array_equal(np.asarray(lin_fm), np.asarray(lin_bm))
+
+    def loss_fm(e3, w):
+        y, lin = cross_conv1_lin_fm_pallas(e3, w, cfg, 8, True)
+        return jnp.sum(y ** 2) + 2.0 * jnp.sum(lin * lin)
+
+    def loss_bm(e2, w):
+        y, lin = cross_conv1_lin_pallas(e2, w, cfg, 8, True)
+        return jnp.sum(y ** 2) + 2.0 * jnp.sum(lin * lin)
+
+    ge_fm, gw_fm = jax.grad(loss_fm, (0, 1))(emb3, w1)
+    ge_bm, gw_bm = jax.grad(loss_bm, (0, 1))(emb2d, w1)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.swapaxes(ge_fm, 0, 1).reshape(b, f * wp)),
+        np.asarray(ge_bm))
+    np.testing.assert_array_equal(np.asarray(gw_fm), np.asarray(gw_bm))
+
+
 def test_model_full_rows_path_matches_reference_forward():
     """forward_from_rows via interaction_fn.full_rows == reference
     (interaction_fn=None) on a qualifying fused-linear config."""
