@@ -30,14 +30,20 @@ Key construction (all shapes static):
     seg walking +EB per block) visit every remaining output block so
     the whole output is initialized — unvisited Pallas output blocks
     would otherwise hold garbage (NaN poison risk downstream).
-  - uids ride along in a SEPARATE narrow operand pair: component c of
-    (id+1) in base-256 (each < 2^8, bf16-exact), masked to the
-    segment's FIRST entry, deposited by the same one-hot matmuls into
-    a (m_pad, 128) bf16 rider output. Decoded outside; empty slots
-    decode to -1. Keeping riders out of the gradient operand avoids
-    materializing an augmented copy of the (n, W) gradient block —
-    the n*(W+128) concat build cost ~7 GB of HBM traffic at criteo
-    bench shapes.
+  - uids ride along as a VMEM-RESIDENT int32 operand enc2d (g_real,
+    EB): enc[p] = (sid[p]+1) masked to the segment's FIRST entry
+    (non-first entries are 0). In-kernel, each block deposits enc at
+    the compact slot with an f32 lane-broadcast multiply + lane-sum
+    against the same one-hot — exact because first-entry masking
+    leaves at most ONE nonzero term per slot and (when the caller's
+    max_id bound fits 24 bits, every real config) the value itself is
+    f32-exact; bigger id spaces split into two 16-bit halves (each
+    < 2^16, f32-exact). The flush writes DECODED int32 uids to a
+    (m_pad, 1) output; empty slots decode to -1. This replaced a
+    (n, 128) bf16 rider-operand + decode-outside scheme whose
+    pad/stack/slice/convert ops cost ~9.6 ms/step at criteo bench
+    shapes (traced 2026-08-20); the resident enc2d is ~10 MB VMEM
+    (same residency pattern as seg2d).
 """
 
 from __future__ import annotations
@@ -50,16 +56,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 EB = 128
-AUG = 128  # rider lane block (NCOMP used, rest zero-pad)
-NCOMP = 4  # base-256 components: ids up to 2^32
 
 
 def _auto_interpret() -> bool:
     return jax.devices()[0].platform not in ("tpu", "axon")
 
 
-def _kernel(ob_ref, seg_ref, g_ref, c_ref, gout_ref, uout_ref,
-            acc, accu, carry, carryu, *, g_real: int):
+def _kernel(ob_ref, seg_ref, enc_ref, g_ref, gout_ref, uout_ref,
+            acc, accu, carry, carryu, *, g_real: int, wide_ids: bool):
     i = pl.program_id(0)
     nsteps = pl.num_programs(0)
     ob = ob_ref[i]
@@ -88,33 +92,65 @@ def _kernel(ob_ref, seg_ref, g_ref, c_ref, gout_ref, uout_ref,
         carryu[...] = jnp.zeros_like(carryu)
 
     # Deposit this input block's entries (sweep blocks deposit nothing;
-    # their g/c index maps are clamped to the last real block, so the
+    # their g index maps are clamped to the last real block, so the
     # guard also keeps clamped garbage out of the sums).
     @pl.when(real)
     def _():
         seg_blk = seg_ref[pl.ds(i, 1), :]  # (1, EB) int32
         local = seg_blk - ob * EB          # in [0, 2*EB)
         g = g_ref[...]                     # (EB, W) bf16
-        c = c_ref[...]                     # (EB, AUG) bf16
         iota = jax.lax.broadcasted_iota(jnp.int32, (EB, EB), 0)
         o1 = (local == iota).astype(jnp.bfloat16)
         o2 = ((local - EB) == iota).astype(jnp.bfloat16)
         dims = (((1,), (0,)), ((), ()))
         acc[...] = acc[...] + jax.lax.dot_general(
             o1, g, dims, preferred_element_type=jnp.float32)
-        accu[...] = accu[...] + jax.lax.dot_general(
-            o1, c, dims, preferred_element_type=jnp.float32)
         carry[...] = carry[...] + jax.lax.dot_general(
             o2, g, dims, preferred_element_type=jnp.float32)
-        carryu[...] = carryu[...] + jax.lax.dot_general(
-            o2, c, dims, preferred_element_type=jnp.float32)
+        # id deposit: byte c of enc (masked to first entries, so each
+        # slot sees at most ONE nonzero product -> bf16-exact) lands in
+        # f32 column c via lane-broadcast multiply + lane reduction.
+        enc_blk = enc_ref[pl.ds(i, 1), :]  # (1, EB) int32, 0 off-first
+        # enc deposits into f32 lane(s) of the full-width scratch via a
+        # lane mask — narrow (EB, NCOMP) concat/scratch miscompiled
+        # under Mosaic (ids >= 2^16 silently lost their high parts on
+        # silicon while CPU interpret passed; caught by the on-chip
+        # corner-case parity sweep, scripts/check_onchip_parity.py)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (EB, EB), 1)
+        comps = ([enc_blk & 0xFFFF, enc_blk >> 16] if wide_ids
+                 else [enc_blk])
+        o1f = o1.astype(jnp.float32)
+        o2f = o2.astype(jnp.float32)
+        u1 = accu[...]
+        u2 = carryu[...]
+        for c, comp in enumerate(comps):
+            val = comp.astype(jnp.float32)  # exact: < 2^16 | < 2^24
+            m = (lane == c).astype(jnp.float32)
+            u1 = u1 + jnp.sum(o1f * val, axis=1, keepdims=True,
+                              dtype=jnp.float32) * m
+            u2 = u2 + jnp.sum(o2f * val, axis=1, keepdims=True,
+                              dtype=jnp.float32) * m
+        accu[...] = u1
+        carryu[...] = u2
 
     # Write-once flush: the HBM block leaves VMEM only after the last
-    # visit, fully assigned.
+    # visit, fully assigned. uids decode in-kernel: two 16-bit halves
+    # (each < 2^16, f32-exact) recombine to the int32 id; empty slots
+    # (all-zero bytes) decode to -1.
     @pl.when(is_last)
     def _():
         gout_ref[...] = acc[...].astype(gout_ref.dtype)
-        uout_ref[...] = accu[...].astype(uout_ref.dtype)
+        au = accu[...]
+        if wide_ids:
+            lo = au[:, 0:1].astype(jnp.int32)
+            hi = au[:, 1:2].astype(jnp.int32)
+            # hi * 65536, NOT hi << 16: Mosaic miscompiles the left
+            # shift on (EB, 1) int32 values to 0 on silicon (repro'd in
+            # isolation 2026-08-20; interpret mode is correct either
+            # way — scripts/check_onchip_parity.py guards this)
+            uout_ref[...] = lo + hi * 65536 - 1
+        else:
+            uout_ref[...] = au[:, 0:1].astype(jnp.int32) - 1
 
 
 def sorted_segment_sum_compact(
@@ -122,14 +158,20 @@ def sorted_segment_sum_compact(
     grads: jax.Array,
     m_pad: int,
     interpret: bool | None = None,
+    max_id: int | None = None,
 ):
     """sid (n,) int32 SORTED ascending; grads (n, W) same order, W a
     multiple of 128. m_pad: static output slots (multiple of EB), must
-    bound the segment count. Returns (uids (m_pad,) int32 with -1 in
+    bound the segment count. max_id: static upper bound on sid values
+    (e.g. the table row count incl. the sentinel row); when it fits 24
+    bits the id rider deposits as ONE exact f32 component instead of
+    two 16-bit halves (half the deposit VPU work — measured ~2 ms/step
+    at criteo bench shapes). Returns (uids (m_pad,) int32 with -1 in
     empty slots, gsum (m_pad, W) bf16, count (scalar int32)).
     """
     if interpret is None:
         interpret = _auto_interpret()
+    wide_ids = max_id is None or (max_id + 2) >= (1 << 24)
     n, w = grads.shape
     assert w % 128 == 0 and m_pad % EB == 0
     grads = grads.astype(jnp.bfloat16)
@@ -149,12 +191,8 @@ def sorted_segment_sum_compact(
     count = seg[-1]
     seg = seg - 1
 
-    # base-256 id components, masked to first occurrences (bf16-exact)
-    enc = ((sid + 1).astype(jnp.uint32) * is_first.astype(jnp.uint32))
-    comps = jnp.stack(
-        [((enc >> (8 * c)) & 0xFF).astype(jnp.bfloat16)
-         for c in range(NCOMP)], axis=1)
-    comps = jnp.pad(comps, ((0, 0), (0, AUG - NCOMP)))
+    # (id+1) masked to first occurrences; byte-split happens in-kernel
+    enc2d = ((sid + 1) * is_first).reshape(g_real, EB)
 
     # segments per block: real blocks from seg; sweep blocks walk +EB
     # per block from seg_last so every output block gets visited
@@ -174,37 +212,34 @@ def sorted_segment_sum_compact(
         in_specs=[
             pl.BlockSpec((g_total, EB), lambda i, ob_ref: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((EB, w),
-                         lambda i, ob_ref: (jnp.minimum(i, g_real - 1), 0),
+            pl.BlockSpec((g_real, EB), lambda i, ob_ref: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((EB, AUG),
+            pl.BlockSpec((EB, w),
                          lambda i, ob_ref: (jnp.minimum(i, g_real - 1), 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((EB, w), lambda i, ob_ref: (ob_ref[i], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((EB, AUG), lambda i, ob_ref: (ob_ref[i], 0),
+            pl.BlockSpec((EB, 1), lambda i, ob_ref: (ob_ref[i], 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[pltpu.VMEM((EB, w), jnp.float32),
-                        pltpu.VMEM((EB, AUG), jnp.float32),
+                        pltpu.VMEM((EB, EB), jnp.float32),
                         pltpu.VMEM((EB, w), jnp.float32),
-                        pltpu.VMEM((EB, AUG), jnp.float32)],
+                        pltpu.VMEM((EB, EB), jnp.float32)],
     )
     gsum, uout = pl.pallas_call(
-        functools.partial(_kernel, g_real=g_real),
+        functools.partial(_kernel, g_real=g_real, wide_ids=wide_ids),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((m_pad, w), jnp.bfloat16),
-                   jax.ShapeDtypeStruct((m_pad, AUG), jnp.bfloat16)],
+                   jax.ShapeDtypeStruct((m_pad, 1), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(ob, seg2d, grads, comps)
+    )(ob, seg2d, enc2d, grads)
 
-    c = uout[:, :NCOMP].astype(jnp.int32)
-    uids = (c[:, 0] + (c[:, 1] << 8) + (c[:, 2] << 16) + (c[:, 3] << 24)) - 1
-    return uids, gsum, count
+    return uout[:, 0], gsum, count
 
 
 def _kernel_seg(ob_ref, seg_ref, g_ref, gout_ref, acc, carry, *, g_real: int):

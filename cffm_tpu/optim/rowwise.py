@@ -275,7 +275,8 @@ def rowwise_update(
         else:
             pos = jnp.arange(safe_ids.shape[0], dtype=jnp.int32)
             sid, order = jax.lax.sort_key_val(safe_ids, pos)
-        uids, g, count = sorted_segment_sum_compact(sid, grads[order], m_pad)
+        uids, g, count = sorted_segment_sum_compact(sid, grads[order], m_pad,
+                                                    max_id=num_rows)
         g = clip_rows(g, opt)
         uids_s = jnp.where(jnp.arange(m_pad) < count, uids,
                            num_rows).astype(jnp.int32)
