@@ -231,10 +231,16 @@ def _bwd_kernel(e_ref, wr_ref, g_ref, *refs, cfg: ModelConfig,
     f, d, k = cfg.num_fields, cfg.embed_dim, cfg.conv_kernel
     fa = cfg.cross == "field_aware"
     half = k // 2
-    if lin:
-        gl_ref, de_ref, dw_ref, m2t, dm2, gp = refs
+    if fa:
+        if lin:
+            gl_ref, de_ref, dw_ref, m2t, dm2, gp, des = refs
+        else:
+            de_ref, dw_ref, m2t, dm2, gp, des = refs
     else:
-        de_ref, dw_ref, m2t, dm2, gp = refs
+        if lin:
+            gl_ref, de_ref, dw_ref, m2t, dm2, gp = refs
+        else:
+            de_ref, dw_ref, m2t, dm2, gp = refs
 
     # Remat forward layout stages.
     et = _build_et_fm(e_ref) if fm else _build_et(e_ref, f, w_phys, bt)
@@ -247,12 +253,14 @@ def _bwd_kernel(e_ref, wr_ref, g_ref, *refs, cfg: ModelConfig,
         gp[d + half + h] = jnp.zeros((c1, bt), gp.dtype)
     gp[half : d + half] = jnp.swapaxes(g_t, 0, 1)
 
-    # dW[t] = sum_x M2T[x + t - half] g_x^T (contract batch lanes).
-    # One dot per conv position xin yields ALL k taps at once: stack the
-    # k g-slices gp[xin : xin+k] (taps in reverse order; gp's zero halo
-    # rows supply the boundary terms) along the C1 axis, so the loop
-    # issues d dots of (P_pad, Bt) @ (Bt, k*C1) instead of ~k*d dots of
-    # (P_pad, Bt) @ (Bt, C1) — same MACs, ~3x fewer MXU issues.
+    # dW[t] = sum_x M2T[x + t - half] g_x^T (contract batch lanes) and
+    # dM2T[xin] = Wr (P_pad, k*C1) @ gwin (k*C1, Bt) (taps reversed in
+    # Wr) in ONE merged loop: each gp tap window gp[xin : xin+k] is
+    # sliced/reshaped once and feeds both dots (the gp zero-halo rows
+    # supply the boundary terms; stacking the k g-slices along the C1
+    # axis keeps it at 2 MXU issues per conv position instead of ~2k —
+    # same MACs).
+    wr = wr_ref[...]  # (P_pad, k*C1), pre-flattened on host
     dw_all = jnp.zeros((p_pad, k * c1), jnp.float32)
     for xin in range(d):
         gw = gp[xin : xin + k].reshape(k * c1, bt)
@@ -261,24 +269,25 @@ def _bwd_kernel(e_ref, wr_ref, g_ref, *refs, cfg: ModelConfig,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        dm2[xin] = jax.lax.dot_general(
+            wr, gw, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dm2.dtype)
     for t in range(k):
         dw_ref[0, t] = dw_all[:, (k - 1 - t) * c1 : (k - t) * c1].astype(
             dw_ref.dtype)
 
-    # dM2T[xin] = sum_t W_t^T g[xin - t + half]
-    #           = Wr (P_pad, k*C1) @ gwin (k*C1, Bt), taps reversed in Wr.
-    wr = wr_ref[...]  # (P_pad, k*C1), pre-flattened on host
-    for xin in range(d):
-        gwin = gp[xin : xin + k].reshape(k * c1, bt)
-        dm2[xin] = jax.lax.dot_general(
-            wr, gwin, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(dm2.dtype)
-
     # dE through the cross products (reads of et precede writes of de_ref).
     dm = jnp.swapaxes(dm2[...], 0, 1)  # (P_pad, d, Bt)
     if fa:
-        de_blocks = [[None] * f for _ in range(f)]
+        # Direct slice-write assembly into the (F, w_phys, Bt) scratch:
+        # anchor i's da chunk is CONTIGUOUS in field i's row
+        # (des[i, (i+1)d:Fd]) and its db chunks form one strided 3D
+        # slice (des[i+1:F, id:(i+1)d]) — two stores per anchor. This
+        # replaced a per-pair de_blocks/concat/stack assembly that
+        # measured 43.3 -> 27.2 ms on the fm bwd micro-bench (bt=128,
+        # B=65536, scripts/bench_bwd_variants.py 2026-08-20; the merged
+        # dW/dM loop above is the same experiment's other half).
         off = 0
         for i in range(f):
             ni = f - 1 - i
@@ -287,37 +296,29 @@ def _bwd_kernel(e_ref, wr_ref, g_ref, *refs, cfg: ModelConfig,
             a = et[i, (i + 1) * d : f * d, :].reshape(ni, d, bt)
             b = et[i + 1 : f, i * d : (i + 1) * d, :]
             chunk = dm[off : off + ni]
-            da = chunk * b.astype(dm.dtype)
-            db = chunk * a.astype(dm.dtype)
-            for jj in range(ni):
-                de_blocks[i][i + 1 + jj] = da[jj]
-                de_blocks[i + 1 + jj][i] = db[jj]
+            des[i, (i + 1) * d : f * d, :] = (
+                chunk * b.astype(dm.dtype)).reshape(ni * d, bt)
+            des[i + 1 : f, i * d : (i + 1) * d, :] = chunk * a.astype(dm.dtype)
             off += ni
-        zero = jnp.zeros((d, bt), dm.dtype)
-        tail = []
+        zero_d = jnp.zeros((d, bt), dm.dtype)
+        for i in range(f):
+            des[i, i * d : (i + 1) * d, :] = zero_d
         if lin:
             # first-order gradient rides the fused column (row_width);
             # remaining pad lanes get exact zeros.
-            glin = gl_ref[0:1, :].astype(dm.dtype)  # (1, Bt)
-            tail = [glin]
-            if w_phys > cfg.row_width + 1:
-                tail.append(
-                    jnp.zeros((w_phys - cfg.row_width - 1, bt), dm.dtype))
-        rows = []
-        for i in range(f):
-            rows.append(jnp.concatenate(
-                [de_blocks[i][j] if de_blocks[i][j] is not None else zero
-                 for j in range(f)] + tail,
-                axis=0,
-            ))  # (w_phys, Bt)
+            lw = cfg.row_width
+            glin = gl_ref[0:1, :].astype(des.dtype)  # (1, Bt)
+            des[:, lw : lw + 1, :] = jnp.broadcast_to(glin[None], (f, 1, bt))
+            if w_phys > lw + 1:
+                des[:, lw + 1 :, :] = jnp.zeros((f, w_phys - lw - 1, bt),
+                                                des.dtype)
         if fm:
-            # field-major output (F, Bt, w_phys): stack + batched 2D
-            # transpose, the exact inverse of _build_et_fm
-            de3 = jnp.stack(rows, axis=0)  # (F, w_phys, Bt)
-            de_ref[...] = jnp.swapaxes(de3, 1, 2).astype(de_ref.dtype)
+            # field-major output (F, Bt, w_phys): batched 2D transpose,
+            # the exact inverse of _build_et_fm
+            de_ref[...] = jnp.swapaxes(des[...], 1, 2).astype(de_ref.dtype)
         else:
-            de_full = jnp.concatenate(rows, axis=0)  # (F*w_phys, Bt)
-            de_ref[...] = de_full.T.astype(de_ref.dtype)
+            de_ref[...] = des[...].reshape(f * w_phys, bt).T.astype(
+                de_ref.dtype)
     else:
         acc = [jnp.zeros((d, bt), jnp.float32) for _ in range(f)]
         off = 0
@@ -387,7 +388,8 @@ def _bwd_pallas(emb2d, wr, g, cfg: ModelConfig, bt: int, interpret: bool,
             pltpu.VMEM((d + 2 * (k // 2), p_pad, bt), dtype),  # M2T halo
             pltpu.VMEM((d, p_pad, bt), dtype),                 # dM2T
             pltpu.VMEM((d + 2 * (k // 2), c1, bt), dtype),     # gp halo
-        ],
+        ] + ([pltpu.VMEM((f, w_phys, bt), dtype)]              # dE assembly
+             if cfg.cross == "field_aware" else []),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*in_arrays)
@@ -413,8 +415,9 @@ def _pick_bt(b: int, dtype, cfg: ModelConfig, bwd: bool = False,
     p_pad = _round_up(cfg.num_pairs, 8)
     if bwd:
         # bwd holds: input block + et transpose + M2T, the dM scratch,
-        # gp halo, de accumulator — ~3 copies of each major buffer.
-        per_lane = (3 * cfg.num_fields * w + 3 * p_pad * d) * itemsize
+        # gp halo, the dE slice-write scratch, and the de output block
+        # — ~4 copies of each major buffer.
+        per_lane = (4 * cfg.num_fields * w + 3 * p_pad * d) * itemsize
     else:
         # fwd holds only: input block, its et transpose, the M2T
         # scratch (d+2 halo rows), and the (C1*d) output — the old

@@ -121,7 +121,31 @@ def check_interaction_kernel() -> bool:
     good = e_bm < 1e-3 and e_fm < 1e-3
     print(f"interaction fwd err bm={e_bm:.2e} fm={e_fm:.2e} -> "
           f"{'ok' if good else 'FAIL'}")
-    return good
+
+    # bwd: compare grads w.r.t. rows + conv weight between the Pallas
+    # custom_vjp (fm path) and XLA autodiff of the reference, on chip.
+    def loss_ref(p, r):
+        out = model_lib.forward_from_rows(p, r, None, None, cfg,
+                                          interaction_fn=None)
+        return jnp.sum(out ** 2)
+
+    def loss_fm(p, r3):
+        out = model_lib.forward_from_rows_fm(p, r3, None, cfg,
+                                             interaction_fn=fn)
+        return jnp.sum(out ** 2)
+
+    gr_p, gr_r = jax.jit(jax.grad(loss_ref, argnums=(0, 1)))(params, rows)
+    gf_p, gf_r = jax.jit(jax.grad(loss_fm, argnums=(0, 1)))(
+        params, jnp.swapaxes(rows, 0, 1))
+    e_r = float(np.max(np.abs(np.asarray(jnp.swapaxes(gf_r, 0, 1) - gr_r))))
+    e_w = float(np.max(np.abs(np.asarray(
+        gf_p["conv"][0]["w"] - gr_p["conv"][0]["w"]))))
+    scale = float(np.max(np.abs(np.asarray(gr_r)))) + 1e-9
+    good_b = e_r / scale < 2e-2 and e_w / (
+        float(np.max(np.abs(np.asarray(gr_p["conv"][0]["w"])))) + 1e-9) < 2e-2
+    print(f"interaction bwd err drows={e_r:.2e} (rel {e_r/scale:.2e}) "
+          f"dw={e_w:.2e} -> {'ok' if good_b else 'FAIL'}")
+    return good and good_b
 
 
 def main() -> int:
