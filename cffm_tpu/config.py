@@ -186,6 +186,12 @@ class ShardingConfig:
     # cross DCN). "intra_host": 2D ("host","chip") mesh — tables sharded
     # within each host, replicated across; lookup rides ICI only and
     # table grads psum over "host" (parallel/dcn_mesh.py; SURVEY.md M5).
+    # "hier": 2D ("host","chip") mesh with the SAME flat table layout as
+    # "global" but a two-stage exchange with HOST-LEVEL dedup — each
+    # host-distinct row crosses DCN once per direction instead of once
+    # per requesting chip (parallel/hier_embedding.py). The multi-host
+    # default: docs/SCALING_MODEL.md §4 shows the flat exchange caps
+    # 2-host scaling at ~9-14% while hier reaches the ≥85% band.
     table_axis: str = "global"
     # Per-peer all-to-all bucket slack. Capacity per (shard, peer) bucket is
     # ceil(n_local_ids / T) * factor, lane-rounded, hard-capped by the static
@@ -198,6 +204,16 @@ class ShardingConfig:
     # Tested under forced overflow: training stays finite and the counter
     # reports (tests/test_sharded_train.py::test_sharded_step_under_forced_overflow).
     id_capacity_factor: float = 2.0
+    # ABSOLUTE per-peer bucket row budgets, overriding the factor
+    # formula when > 0 (still hard-capped by the correctness caps; at
+    # T=1 the full distinct bound is always covered). Size these from
+    # measured occupancy (scripts/measure_id_stats.py; measured table in
+    # docs/SCALING_MODEL.md §2.6): the worst-case formula pads the
+    # exchange 7-14x over the measured Zipf bucket loads.
+    # cap_rows: flat exchange / hierarchical stage-1 (ICI) buckets.
+    # cap_rows_host: hierarchical stage-2 (DCN) buckets.
+    cap_rows: int = 0
+    cap_rows_host: int = 0
     dedup: bool = True
 
 
@@ -309,7 +325,23 @@ def _criteo_full() -> TrainConfig:
 
 def _multihost() -> TrainConfig:
     cfg = _criteo_full()
-    return dataclasses.replace(cfg, name="multihost")
+    # Hierarchical host-level-dedup exchange: the flat all-to-all ships
+    # each row once per REQUESTING CHIP over DCN (~9-14% projected
+    # 2-host efficiency at criteo_full shapes); "hier" ships each
+    # host-distinct row once per HOST — the layout that reaches the
+    # ≥85% band (docs/SCALING_MODEL.md §4).
+    # Bucket capacities sized from MEASURED occupancy on the Zipf(1.3)
+    # bench stream at the 2-host point (2x8 chips, global batch 131072;
+    # scripts/measure_id_stats.py 2026-08-20): stage-1 worst bucket
+    # 4486 -> 8192 (1.8x margin), stage-2 worst 10251 -> 16384 (1.6x).
+    # The worst-case formula would pad stage 2 to 79872 slots (7.8x the
+    # measured load) and blow the DCN budget; the overflow counter in
+    # step metrics is the production guard — if it ever reads nonzero,
+    # raise these.
+    return dataclasses.replace(
+        cfg, name="multihost",
+        sharding=dataclasses.replace(cfg.sharding, table_axis="hier",
+                                     cap_rows=8192, cap_rows_host=16384))
 
 
 _CONFIGS = {

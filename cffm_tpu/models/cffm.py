@@ -181,7 +181,7 @@ def forward_from_rows(
     # (see ops/interaction_conv.cross_conv1_lin_pallas).
     full_rows = getattr(interaction_fn, "full_rows", None)
     if (full_rows is not None and cfg.fused_linear
-            and cfg.cross == "field_aware" and cfg.conv_kernel == 3
+            and cfg.cross == "field_aware" and cfg.conv_kernel % 2 == 1
             and cfg.embed_dim % 2 == 0 and params["conv"]):
         emb2d = emb_rows.reshape(
             b, cfg.num_fields * cfg.table_width).astype(cdt)

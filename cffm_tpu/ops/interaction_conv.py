@@ -415,9 +415,11 @@ def _pick_bt(b: int, dtype, cfg: ModelConfig, bwd: bool = False,
     p_pad = _round_up(cfg.num_pairs, 8)
     if bwd:
         # bwd holds: input block + et transpose + M2T, the dM scratch,
-        # gp halo, the dE slice-write scratch, and the de output block
-        # — ~4 copies of each major buffer.
-        per_lane = (4 * cfg.num_fields * w + 3 * p_pad * d) * itemsize
+        # gp halo, and the de output block; the dE slice-write scratch
+        # (the 4th F*w copy) exists only on the field_aware path
+        # (mirrors the scratch_shapes conditional in _bwd_pallas).
+        fw_copies = 4 if cfg.cross == "field_aware" else 3
+        per_lane = (fw_copies * cfg.num_fields * w + 3 * p_pad * d) * itemsize
     else:
         # fwd holds only: input block, its et transpose, the M2T
         # scratch (d+2 halo rows), and the (C1*d) output — the old

@@ -72,7 +72,8 @@ def _axis_size(axis: str) -> int:
 
 def build_routing(ids_flat: jax.Array, capacity: int, axis: str,
                   rows_per_shard: int | None = None,
-                  max_unique: int | None = None) -> Routing:
+                  max_unique: int | None = None,
+                  keys: jax.Array | None = None) -> Routing:
     """Dedup + bucket-by-owner + all-to-all ID exchange. Per-shard view.
 
     ids_flat: (n,) int32 global ids of this shard's batch.
@@ -83,6 +84,13 @@ def build_routing(ids_flat: jax.Array, capacity: int, axis: str,
     max_unique: optional static bound on the distinct-id count of
     ids_flat (optim.rowwise.unique_bound); callers use it to size
     capacity and to enable the overflow-free fast paths downstream.
+    keys: optional precomputed sort keys replacing the default
+    mod-sharding formula. Must equal owner*stride + local with owner in
+    [0, t] (owner == t marks sentinel/empty entries: they sort last,
+    dedup into one segment past the last owner boundary, and are never
+    bucketed) and local in [0, stride). rows_per_shard is REQUIRED with
+    keys (it is the stride). The hierarchical exchange
+    (parallel/hier_embedding.py) uses this for both of its stages.
 
     ONE sort, not two: the key is the mod-sharded STORAGE row
     (owner * Vs + local_row — exactly to_mod_sharded's layout), so a
@@ -98,10 +106,12 @@ def build_routing(ids_flat: jax.Array, capacity: int, axis: str,
     """
     n = ids_flat.shape[0]
     t = _axis_size(axis)
+    if keys is not None:
+        assert rows_per_shard is not None, "keys= requires rows_per_shard"
     stride = int(rows_per_shard) if rows_per_shard else ((1 << 31) // int(t))
 
     # ---- single sort by storage-row key ----
-    key = (ids_flat % t) * stride + ids_flat // t
+    key = keys if keys is not None else (ids_flat % t) * stride + ids_flat // t
     pos = jnp.arange(n, dtype=jnp.int32)
     sk, order = jax.lax.sort_key_val(key, pos)
     is_first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
@@ -189,6 +199,17 @@ def routed_lookup(table_local: jax.Array, routing: Routing, axis: str,
     # full (n, W) pass (~10 ms at criteo bench shapes).
     served = jnp.take(table_local, routing.recv_ids.reshape(-1), axis=0,
                       mode="clip").reshape(t, c, w).astype(out_dtype)
+    return exchange_and_gather(served, routing, axis,
+                               assume_no_overflow=assume_no_overflow)
+
+
+def exchange_and_gather(served: jax.Array, routing: Routing, axis: str,
+                        assume_no_overflow: bool = False) -> jax.Array:
+    """Second half of routed_lookup: reverse all-to-all of a (T, C, W)
+    served-rows buffer + the one wide gather to original positions.
+    Factored out so the hierarchical exchange can substitute its own
+    serve stage (the inter-host recursion) for the local-table gather."""
+    t, c, w = served.shape
 
     # reverse exchange: my requested rows come back
     got = jax.lax.all_to_all(served, axis, 0, 0, tiled=False).reshape(t * c, w)
@@ -266,7 +287,8 @@ def grad_return(drows_flat: jax.Array, routing: Routing, axis: str,
 
 def pick_capacity(n_ids: int, num_shards: int, factor: float = 2.0,
                   rows_per_shard: int | None = None,
-                  max_unique: int | None = None) -> int:
+                  max_unique: int | None = None,
+                  cap_rows: int = 0) -> int:
     """Per-peer bucket capacity: even split times slack, lane-rounded.
 
     Hard caps (always correct, no overflow possible beyond them):
@@ -278,9 +300,22 @@ def pick_capacity(n_ids: int, num_shards: int, factor: float = 2.0,
     them, T=1 benches allocated send/serve buffers LARGER than the
     whole table (5.1M slots x 640 lanes = 6.5 GB of bf16 transients at
     criteo bench shapes); the max_unique cap further cut the t=1
-    exchange buffers 2.56M -> 1.71M slots at criteo batch 65536."""
+    exchange buffers 2.56M -> 1.71M slots at criteo batch 65536.
+
+    cap_rows > 0 overrides the factor formula with an ABSOLUTE per-peer
+    row budget (sized from measured bucket occupancy —
+    scripts/measure_id_stats.py; still hard-capped above). At
+    num_shards == 1 the override and factor are both ignored and the
+    full distinct bound is covered: there is no exchange to shrink,
+    only the dedup buffer, and undersizing it would silently drop ids
+    on a single chip."""
     base = -(-n_ids // num_shards)
-    cap = int(base * factor)
+    if num_shards == 1:
+        cap = n_ids
+    elif cap_rows > 0:
+        cap = int(cap_rows)
+    else:
+        cap = int(base * factor)
     cap = min(cap, n_ids)
     if max_unique is not None:
         cap = min(cap, int(max_unique))

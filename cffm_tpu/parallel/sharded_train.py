@@ -34,23 +34,116 @@ from cffm_tpu.parallel import sharded_embedding as se
 from cffm_tpu.train import TrainState, merge_dense_params, split_dense_params
 
 AXIS = "data"
+HOST, CHIP = "host", "chip"  # axis names of the hierarchical 2D mesh
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def create_sharded_state(cfg: TrainConfig, rng: jax.Array, mesh: Mesh) -> TrainState:
+class FlatRouter:
+    """Exchange strategy: one all-to-all over the flat device axis
+    (sharded_embedding). The default; optimal inside one ICI domain."""
+
+    def __init__(self, axis: str, capacity: int, rows_per_shard: int,
+                 batch_unique: int, n_flat: int, num_shards: int):
+        self.axis = axis
+        self.axes = (axis,)          # psum axes for loss/dense grads
+        self.capacity = capacity
+        self.rows_per_shard = rows_per_shard
+        self.batch_unique = batch_unique
+        self.num_shards = num_shards
+        # capacity statically covers the bound -> overflow impossible ->
+        # the lookups skip their full-width overflow masks
+        self.no_ovf = capacity >= min(n_flat, batch_unique)
+
+    def build(self, flat_ids):
+        return se.build_routing(flat_ids, self.capacity, self.axis,
+                                rows_per_shard=self.rows_per_shard,
+                                max_unique=self.batch_unique)
+
+    def lookup(self, table_local, routing, out_dtype):
+        return se.routed_lookup(table_local, routing, self.axis,
+                                out_dtype=out_dtype,
+                                assume_no_overflow=self.no_ovf)
+
+    def grad(self, drows_flat, routing):
+        return se.grad_return(drows_flat, routing, self.axis,
+                              max_unique=self.batch_unique)
+
+    def overflow(self, routing):
+        return routing.overflow
+
+    def shard_index(self):
+        return jax.lax.axis_index(self.axis)
+
+
+class HierRouter:
+    """Exchange strategy: two-stage hierarchical exchange over a
+    ("host", "chip") mesh with HOST-LEVEL dedup (hier_embedding) —
+    each host-distinct row crosses DCN once per direction. Same table
+    layout as FlatRouter (mod-sharding over the flattened axis)."""
+
+    def __init__(self, cap1: int, cap2: int, rows_per_shard: int,
+                 batch_unique: int, host_unique: int, n_flat: int,
+                 num_hosts: int, chips_per_host: int,
+                 host_axis: str = HOST, chip_axis: str = CHIP):
+        from cffm_tpu.parallel import hier_embedding as he
+        self._he = he
+        self.host_axis, self.chip_axis = host_axis, chip_axis
+        self.axes = (host_axis, chip_axis)
+        self.cap1, self.cap2 = cap1, cap2
+        self.rows_per_shard = rows_per_shard
+        self.batch_unique = batch_unique
+        self.host_unique = host_unique
+        self.num_shards = num_hosts * chips_per_host
+        self.chips_per_host = chips_per_host
+        self.no_ovf = (cap1 >= min(n_flat, batch_unique),
+                       cap2 >= min(chips_per_host * cap1, host_unique))
+
+    def build(self, flat_ids):
+        return self._he.build_routing_hier(
+            flat_ids, self.cap1, self.cap2, self.host_axis, self.chip_axis,
+            self.rows_per_shard, max_unique1=self.batch_unique,
+            max_unique2=self.host_unique)
+
+    def lookup(self, table_local, routing, out_dtype):
+        return self._he.hier_routed_lookup(
+            table_local, routing, self.host_axis, self.chip_axis,
+            out_dtype=out_dtype, assume_no_overflow=self.no_ovf)
+
+    def grad(self, drows_flat, routing):
+        return self._he.hier_grad_return(
+            drows_flat, routing, self.host_axis, self.chip_axis,
+            max_unique1=self.batch_unique, max_unique2=self.host_unique)
+
+    def overflow(self, routing):
+        return self._he.hier_overflow(routing)
+
+    def shard_index(self):
+        return (jax.lax.axis_index(self.host_axis) * self.chips_per_host
+                + jax.lax.axis_index(self.chip_axis))
+
+
+def create_sharded_state(cfg: TrainConfig, rng: jax.Array, mesh: Mesh,
+                         table_pspec: P | None = None) -> TrainState:
     """Init with tables/opt-state row-sharded, dense replicated.
 
     Table storage uses the mod-sharding permutation (see
     sharded_embedding.py): vocab padded to a multiple of the shard
     count; logical id g lives at storage row (g % T) * Vs + g // T.
     Init is i.i.d. so the permutation does not change the distribution.
+
+    table_pspec: PartitionSpec for the table's row axis; defaults to
+    P(AXIS, None) on the flat mesh — the hierarchical layout passes
+    P((HOST, CHIP), None), which flattens to the SAME per-device
+    storage (flat shard s = host*C + chip), so flat and hier programs
+    are checkpoint-interchangeable.
     """
     t = mesh.devices.size
     mcfg = cfg.model
     v_pad = _round_up(mcfg.total_vocab, t)
+    sh_spec = P(AXIS, None) if table_pspec is None else table_pspec
 
     params = model_lib.init_params(rng, mcfg, skip_tables=True)
     # tables are created here directly at padded size
@@ -59,12 +152,12 @@ def create_sharded_state(cfg: TrainConfig, rng: jax.Array, mesh: Mesh) -> TrainS
     table = (0.01 * jax.random.normal(k1, (v_pad, mcfg.table_width),
                                       dtype=jnp.float32)).astype(tdt)
     params["embed"]["table"] = jax.device_put(
-        table, NamedSharding(mesh, P(AXIS, None)))
+        table, NamedSharding(mesh, sh_spec))
     if mcfg.use_first_order and not mcfg.fused_linear:
         lin = (0.01 * jax.random.normal(k2, (v_pad, 1),
                                         dtype=jnp.float32)).astype(tdt)
         params["linear"]["table"] = jax.device_put(
-            lin, NamedSharding(mesh, P(AXIS, None)))
+            lin, NamedSharding(mesh, sh_spec))
 
     repl = NamedSharding(mesh, P())
     params["conv"] = jax.device_put(params["conv"], repl)
@@ -75,7 +168,7 @@ def create_sharded_state(cfg: TrainConfig, rng: jax.Array, mesh: Mesh) -> TrainS
     tx = make_dense_optimizer(cfg.optim)
     dense_opt_state = jax.device_put(tx.init(split_dense_params(params)), repl)
 
-    sharded = NamedSharding(mesh, P(AXIS, None))
+    sharded = NamedSharding(mesh, sh_spec)
     sparse = {"embed": jax.tree.map(
         lambda x: jax.device_put(x, sharded) if x.ndim == 2 else jax.device_put(x, repl),
         rowwise_init(params["embed"]["table"], cfg.optim))}
@@ -97,12 +190,16 @@ def create_sharded_state(cfg: TrainConfig, rng: jax.Array, mesh: Mesh) -> TrainS
 
 def _local_step(params, dense_opt_state, sparse_opt_state, step_no,
                 ids, dense, labels,
-                *, cfg: TrainConfig, capacity: int, interaction_fn):
-    """Per-shard body (runs under shard_map)."""
+                *, cfg: TrainConfig, router, interaction_fn):
+    """Per-shard body (runs under shard_map). The exchange strategy is
+    pluggable: FlatRouter (one all-to-all over the flat axis) or
+    HierRouter (two-stage host-level-dedup exchange over a
+    ("host","chip") mesh) — same table layout, same step math."""
     mcfg = cfg.model
     b_loc, f = ids.shape
     w = mcfg.table_width
     cdt = jnp.dtype(mcfg.compute_dtype)
+    axes = router.axes
 
     table_local = params["embed"]["table"]   # (Vs, W) local shard
     # Field-major flagship path: routing/grad_return track positions
@@ -115,31 +212,18 @@ def _local_step(params, dense_opt_state, sparse_opt_state, step_no,
     from cffm_tpu.utils.debugging import collective_probe
 
     def dbg(tag):
-        collective_probe(tag, AXIS, cfg.debug_barriers)
-
-    # static distinct-id bound for this shard's batch: drives the
-    # no-overflow-possible sorted-scatter hint and the compact dedup
-    # buffer in grad_return
-    batch_unique = unique_bound(mcfg.vocab_sizes, b_loc)
-    # capacity statically covers the bound -> overflow impossible ->
-    # the lookups skip their full-width overflow masks
-    no_ovf = capacity >= min(flat_ids.shape[0], batch_unique)
+        collective_probe(tag, axes[0], cfg.debug_barriers)
 
     dbg("routing-a2a:enter")
-    routing = se.build_routing(flat_ids, capacity, AXIS,
-                               rows_per_shard=table_local.shape[0],
-                               max_unique=batch_unique)
+    routing = router.build(flat_ids)
     dbg("lookup-a2a:enter")
-    rows = se.routed_lookup(table_local, routing, AXIS, out_dtype=cdt,
-                            assume_no_overflow=no_ovf)
+    rows = router.lookup(table_local, routing, cdt)
     dbg("lookup-a2a:exit")
     emb_rows = rows.reshape(f, b_loc, w) if fm else rows.reshape(b_loc, f, w)
     separate_linear = mcfg.use_first_order and not mcfg.fused_linear
     if separate_linear:
-        lin_rows = se.routed_lookup(params["linear"]["table"], routing, AXIS,
-                                    out_dtype=jnp.float32,
-                                    assume_no_overflow=no_ovf
-                                    ).reshape(b_loc, f, 1)
+        lin_rows = router.lookup(params["linear"]["table"], routing,
+                                 jnp.float32).reshape(b_loc, f, 1)
     else:
         lin_rows = None
 
@@ -154,7 +238,7 @@ def _local_step(params, dense_opt_state, sparse_opt_state, step_no,
                 interaction_fn=interaction_fn)
         # global mean logloss: local sum / global batch
         local_sum = jnp.sum(metrics.sigmoid_bce_with_logits(logits, labels))
-        global_b = b_loc * jax.lax.axis_size(AXIS)
+        global_b = b_loc * router.num_shards
         return local_sum / global_b, logits
 
     argnums = (0, 1, 2) if separate_linear else (0, 1)
@@ -167,11 +251,11 @@ def _local_step(params, dense_opt_state, sparse_opt_state, step_no,
             split_dense_params(params), emb_rows, None)
         dlin = None
     dbg("loss-psum:enter")
-    loss = jax.lax.psum(loss, AXIS)
+    loss = jax.lax.psum(loss, axes)
 
     # dense params: psum grads (loss already divided by global batch)
     dbg("grads-psum:enter")
-    dgrads = jax.lax.psum(dgrads, AXIS)
+    dgrads = jax.lax.psum(dgrads, axes)
     dbg("grads-psum:exit")
     lrf = schedule_factor(cfg.optim, step_no, cfg.data.num_train_steps)
     tx = make_dense_optimizer(cfg.optim)
@@ -181,30 +265,27 @@ def _local_step(params, dense_opt_state, sparse_opt_state, step_no,
                                     scale_updates(updates, lrf))
     new_params = merge_dense_params(params, new_dense)
 
-    # sparse: reverse all-to-all, per-row update local to the shard.
-    # grad_return hands back the per-peer buckets (T, C) / (T, C, W);
+    # sparse: reverse all-to-all(s), per-row update local to the shard.
+    # router.grad hands back the per-peer buckets (T, C) / (T, C, W);
     # the bucketed update consumes them directly — no re-sort/re-dedup
     # (cross-peer duplicate rows are summed inside the apply kernel).
     dbg("grad-return-a2a:enter")
-    row_ids, row_grads = se.grad_return(demb.reshape(-1, w), routing, AXIS,
-                                        max_unique=batch_unique)
+    row_ids, row_grads = router.grad(demb.reshape(-1, w), routing)
     dbg("grad-return-a2a:exit")
     new_sparse = dict(sparse_opt_state)
     sk_emb, sk_lin = sr_keys(mcfg.table_dtype, cfg.optim, step_no,
                              cfg.data.seed)
     if sk_emb is not None:
         # decorrelate the shards' stochastic-rounding dither
-        shard = jax.lax.axis_index(AXIS)
-        sk_emb = jax.random.fold_in(sk_emb, shard)
-        sk_lin = jax.random.fold_in(sk_lin, shard)
+        sk_emb = jax.random.fold_in(sk_emb, router.shard_index())
+        sk_lin = jax.random.fold_in(sk_lin, router.shard_index())
     new_table, new_sparse["embed"] = bucketed_rowwise_update(
         table_local, sparse_opt_state["embed"], row_ids, row_grads, cfg.optim,
         lr_scale=lrf, sr_key=sk_emb)
     new_params = dict(new_params, embed={"table": new_table})
     if separate_linear:
-        lrow_ids, lrow_grads = se.grad_return(
-            dlin.reshape(-1, 1).astype(jnp.float32), routing, AXIS,
-            max_unique=batch_unique)
+        lrow_ids, lrow_grads = router.grad(
+            dlin.reshape(-1, 1).astype(jnp.float32), routing)
         new_lin, new_sparse["linear"] = bucketed_rowwise_update(
             params["linear"]["table"], sparse_opt_state["linear"],
             lrow_ids, lrow_grads, cfg.optim, lr_scale=lrf, sr_key=sk_lin)
@@ -212,22 +293,47 @@ def _local_step(params, dense_opt_state, sparse_opt_state, step_no,
 
     step_metrics = {
         "loss": loss,
-        "overflow": jax.lax.psum(routing.overflow, AXIS),
+        "overflow": jax.lax.psum(router.overflow(routing), axes),
     }
     return new_params, new_dense_opt, new_sparse, step_metrics
 
 
-def make_sharded_train_step(cfg: TrainConfig, mesh: Mesh, interaction_fn=None):
-    t = mesh.devices.size
+def _make_flat_router(cfg: TrainConfig, t: int) -> FlatRouter:
     b_glob = cfg.data.batch_size
     n_local = (b_glob // t) * cfg.model.num_fields
     v_pad = _round_up(cfg.model.total_vocab, t)
+    batch_unique = unique_bound(cfg.model.vocab_sizes, b_glob // t)
     capacity = se.pick_capacity(n_local, t, cfg.sharding.id_capacity_factor,
                                 rows_per_shard=v_pad // t,
-                                max_unique=unique_bound(
-                                    cfg.model.vocab_sizes, b_glob // t))
+                                max_unique=batch_unique,
+                                cap_rows=cfg.sharding.cap_rows)
+    return FlatRouter(AXIS, capacity, v_pad // t, batch_unique, n_local, t)
 
-    body = functools.partial(_local_step, cfg=cfg, capacity=capacity,
+
+def _make_hier_router(cfg: TrainConfig, mesh: Mesh) -> "HierRouter":
+    from cffm_tpu.parallel import hier_embedding as he
+
+    h, c = mesh.shape[HOST], mesh.shape[CHIP]
+    t = h * c
+    b_glob = cfg.data.batch_size
+    b_loc = b_glob // t
+    n_local = b_loc * cfg.model.num_fields
+    v_pad = _round_up(cfg.model.total_vocab, t)
+    batch_unique = unique_bound(cfg.model.vocab_sizes, b_loc)
+    host_unique = unique_bound(cfg.model.vocab_sizes, b_loc * c)
+    cap1, cap2 = he.pick_capacities_hier(
+        n_local, h, c, cfg.sharding.id_capacity_factor, v_pad // t,
+        batch_unique, host_unique, cap_rows=cfg.sharding.cap_rows,
+        cap_rows_host=cfg.sharding.cap_rows_host)
+    return HierRouter(cap1, cap2, v_pad // t, batch_unique, host_unique,
+                      n_local, h, c)
+
+
+def make_sharded_train_step(cfg: TrainConfig, mesh: Mesh, interaction_fn=None):
+    t = mesh.devices.size
+    router = _make_flat_router(cfg, t)
+
+    body = functools.partial(_local_step, cfg=cfg, router=router,
                              interaction_fn=interaction_fn)
 
     sh_table = P(AXIS, None)
@@ -262,6 +368,54 @@ def make_sharded_train_step(cfg: TrainConfig, mesh: Mesh, interaction_fn=None):
     return jax.jit(step, donate_argnums=(0,))
 
 
+def make_sharded_train_step_hier(cfg: TrainConfig, mesh: Mesh,
+                                 interaction_fn=None):
+    """Train step over a ("host", "chip") mesh with the HIERARCHICAL
+    host-level-dedup exchange (parallel/hier_embedding.py). The table
+    layout is the flat mod-sharding over the flattened axis — same
+    storage as make_sharded_train_step on the equivalent flat mesh —
+    but each host-distinct row crosses the host boundary (DCN) once
+    per direction instead of once per requesting chip."""
+    router = _make_hier_router(cfg, mesh)
+
+    body = functools.partial(_local_step, cfg=cfg, router=router,
+                             interaction_fn=interaction_fn)
+
+    both = (HOST, CHIP)
+    sh_table = P(both, None)
+    repl = P()
+    batch = P(both)
+
+    params_spec = {
+        "embed": {"table": sh_table},
+        "conv": repl, "tower": repl,
+    }
+    if cfg.model.use_first_order:
+        params_spec["linear"] = (
+            {"bias": repl} if cfg.model.fused_linear
+            else {"table": sh_table, "bias": repl})
+
+    def make_sparse_spec(state):
+        return jax.tree.map(lambda x: sh_table if x.ndim == 2 else repl, state)
+
+    def step(state: TrainState, ids, dense, labels):
+        sparse_specs = make_sparse_spec(state.sparse_opt_state)
+        fn = shard_map(
+            body, mesh=mesh,
+            in_specs=(params_spec, repl, sparse_specs, repl,
+                      batch, repl if dense is None else batch, batch),
+            out_specs=(params_spec, repl, sparse_specs, repl),
+            check_vma=False,
+        )
+        new_params, new_dense_opt, new_sparse, m = fn(
+            state.params, state.dense_opt_state, state.sparse_opt_state,
+            state.step, ids, dense, labels)
+        return TrainState(state.step + 1, new_params, new_dense_opt,
+                          new_sparse), m
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
 def wrap_wire_step(step, wire_spec, mcfg):
     """Jitted (state, wire_dict) variant of a raw sharded (state, ids,
     dense, labels) step: unpack the packed wire batch (data/wire.py) and
@@ -282,44 +436,35 @@ def wrap_wire_step(step, wire_spec, mcfg):
     return jax.jit(wire_step, donate_argnums=(0,))
 
 
-def make_sharded_eval_step(cfg: TrainConfig, mesh: Mesh, interaction_fn=None):
-    t = mesh.devices.size
-    b_glob = cfg.data.batch_size
-    n_local = (b_glob // t) * cfg.model.num_fields
-    v_pad = _round_up(cfg.model.total_vocab, t)
-    eval_unique = unique_bound(cfg.model.vocab_sizes, b_glob // t)
-    capacity = se.pick_capacity(n_local, t, cfg.sharding.id_capacity_factor,
-                                rows_per_shard=v_pad // t,
-                                max_unique=eval_unique)
+def _eval_body(params, auc_state, ids, dense, labels, mask,
+               *, cfg: TrainConfig, router, interaction_fn):
     mcfg = cfg.model
+    b_loc, f = ids.shape
+    cdt = jnp.dtype(mcfg.compute_dtype)
+    routing = router.build(ids.reshape(-1))
+    emb_rows = router.lookup(params["embed"]["table"], routing, cdt
+                             ).reshape(b_loc, f, mcfg.table_width)
+    lin_rows = None
+    if mcfg.use_first_order and not mcfg.fused_linear:
+        lin_rows = router.lookup(params["linear"]["table"], routing,
+                                 jnp.float32).reshape(b_loc, f, 1)
+    logits = model_lib.forward_from_rows(
+        params, emb_rows, lin_rows, dense, mcfg, interaction_fn=interaction_fn)
+    logits = logits + metrics.calibration_offset(cfg.data)
+    # each shard updates its local accumulator; merged via psum
+    upd = metrics.auc_state_update(
+        jax.tree.map(jnp.zeros_like, auc_state), logits, labels,
+        mask=mask)
+    return jax.tree.map(lambda a, u: a + jax.lax.psum(u, router.axes),
+                        auc_state, upd)
 
-    def body(params, auc_state, ids, dense, labels, mask):
-        b_loc, f = ids.shape
-        cdt = jnp.dtype(mcfg.compute_dtype)
-        no_ovf = capacity >= min(ids.size, eval_unique)
-        routing = se.build_routing(ids.reshape(-1), capacity, AXIS,
-                                   rows_per_shard=params["embed"]["table"].shape[0],
-                                   max_unique=eval_unique)
-        emb_rows = se.routed_lookup(params["embed"]["table"], routing, AXIS,
-                                    out_dtype=cdt, assume_no_overflow=no_ovf
-                                    ).reshape(b_loc, f, mcfg.table_width)
-        lin_rows = None
-        if mcfg.use_first_order and not mcfg.fused_linear:
-            lin_rows = se.routed_lookup(params["linear"]["table"], routing, AXIS,
-                                        out_dtype=jnp.float32,
-                                        assume_no_overflow=no_ovf
-                                        ).reshape(b_loc, f, 1)
-        logits = model_lib.forward_from_rows(
-            params, emb_rows, lin_rows, dense, mcfg, interaction_fn=interaction_fn)
-        logits = logits + metrics.calibration_offset(cfg.data)
-        # each shard updates its local accumulator; merged via psum
-        upd = metrics.auc_state_update(
-            jax.tree.map(jnp.zeros_like, auc_state), logits, labels,
-            mask=mask)
-        return jax.tree.map(lambda a, u: a + jax.lax.psum(u, AXIS), auc_state, upd)
 
-    sh_table = P(AXIS, None)
+def _make_eval_step(cfg: TrainConfig, mesh: Mesh, interaction_fn, router,
+                    sh_table: P, batch: P):
+    mcfg = cfg.model
     repl = P()
+    body = functools.partial(_eval_body, cfg=cfg, router=router,
+                             interaction_fn=interaction_fn)
     params_spec = {"embed": {"table": sh_table}, "conv": repl, "tower": repl}
     if mcfg.use_first_order:
         params_spec["linear"] = (
@@ -332,11 +477,25 @@ def make_sharded_eval_step(cfg: TrainConfig, mesh: Mesh, interaction_fn=None):
             mask = jnp.ones_like(labels)
         fn = shard_map(
             body, mesh=mesh,
-            in_specs=(params_spec, repl, P(AXIS),
-                      repl if dense is None else P(AXIS), P(AXIS), P(AXIS)),
+            in_specs=(params_spec, repl, batch,
+                      repl if dense is None else batch, batch, batch),
             out_specs=repl,
             check_vma=False,
         )
         return fn(state.params, auc_state, ids, dense, labels, mask)
 
     return jax.jit(step)
+
+
+def make_sharded_eval_step(cfg: TrainConfig, mesh: Mesh, interaction_fn=None):
+    router = _make_flat_router(cfg, mesh.devices.size)
+    return _make_eval_step(cfg, mesh, interaction_fn, router,
+                           sh_table=P(AXIS, None), batch=P(AXIS))
+
+
+def make_sharded_eval_step_hier(cfg: TrainConfig, mesh: Mesh,
+                                interaction_fn=None):
+    router = _make_hier_router(cfg, mesh)
+    both = (HOST, CHIP)
+    return _make_eval_step(cfg, mesh, interaction_fn, router,
+                           sh_table=P(both, None), batch=P(both))

@@ -260,6 +260,16 @@ def run(cfg: TrainConfig, interaction_fn=None, log_fn=print) -> Dict:
             state = create_sharded_state_2d(cfg, rng, mesh)
             step_fn = make_sharded_train_step_2d(cfg, mesh, interaction_fn)
             eval_fn = make_sharded_eval_step_2d(cfg, mesh, interaction_fn)
+        elif cfg.sharding.table_axis == "hier":
+            from cffm_tpu.parallel.dcn_mesh import make_mesh_2d
+            from cffm_tpu.parallel.sharded_train import (
+                make_sharded_eval_step_hier, make_sharded_train_step_hier)
+
+            mesh = make_mesh_2d()
+            state = create_sharded_state(
+                cfg, rng, mesh, table_pspec=P(("host", "chip"), None))
+            step_fn = make_sharded_train_step_hier(cfg, mesh, interaction_fn)
+            eval_fn = make_sharded_eval_step_hier(cfg, mesh, interaction_fn)
         else:
             mesh = make_mesh()
             state = create_sharded_state(cfg, rng, mesh)

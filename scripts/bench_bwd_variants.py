@@ -11,6 +11,13 @@ restructured variants on the real chip (RTT-corrected):
       de_blocks/concat assembly; dW+dM loops merged to share the
       gp-window slices.
 
+NOTE (record script): v1's restructuring was MERGED into the shipped
+kernel in round 4 (commit 353714e), so v0 == shipped == v1 now and
+`--check` compares the kernel against itself — keep this script as the
+record of the experiment and as scaffolding for FUTURE variants; give
+any new variant an independent reference (jax.grad of
+cross_conv1_reference) before trusting --check.
+
 Usage: python scripts/bench_bwd_variants.py [--batch=65536] [--bts=128]
 """
 

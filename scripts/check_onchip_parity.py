@@ -134,6 +134,11 @@ def check_interaction_kernel() -> bool:
                                              interaction_fn=fn)
         return jnp.sum(out ** 2)
 
+    def loss_bm(p, r):
+        out = model_lib.forward_from_rows(p, r, None, None, cfg,
+                                          interaction_fn=fn)
+        return jnp.sum(out ** 2)
+
     gr_p, gr_r = jax.jit(jax.grad(loss_ref, argnums=(0, 1)))(params, rows)
     gf_p, gf_r = jax.jit(jax.grad(loss_fm, argnums=(0, 1)))(
         params, jnp.swapaxes(rows, 0, 1))
@@ -141,11 +146,22 @@ def check_interaction_kernel() -> bool:
     e_w = float(np.max(np.abs(np.asarray(
         gf_p["conv"][0]["w"] - gr_p["conv"][0]["w"]))))
     scale = float(np.max(np.abs(np.asarray(gr_r)))) + 1e-9
-    good_b = e_r / scale < 2e-2 and e_w / (
-        float(np.max(np.abs(np.asarray(gr_p["conv"][0]["w"])))) + 1e-9) < 2e-2
+    w_scale = float(np.max(np.abs(np.asarray(gr_p["conv"][0]["w"])))) + 1e-9
+    good_b = e_r / scale < 2e-2 and e_w / w_scale < 2e-2
     print(f"interaction bwd err drows={e_r:.2e} (rel {e_r/scale:.2e}) "
           f"dw={e_w:.2e} -> {'ok' if good_b else 'FAIL'}")
-    return good and good_b
+
+    # batch-major full-rows bwd on silicon too (ADVICE r4: it was only
+    # interpret-covered, which cannot catch Mosaic-lowering-only bugs)
+    gb_p, gb_r = jax.jit(jax.grad(loss_bm, argnums=(0, 1)))(params, rows)
+    e_rb = float(np.max(np.abs(np.asarray(gb_r - gr_r))))
+    e_wb = float(np.max(np.abs(np.asarray(
+        gb_p["conv"][0]["w"] - gr_p["conv"][0]["w"]))))
+    good_bm = e_rb / scale < 2e-2 and e_wb / w_scale < 2e-2
+    print(f"interaction bwd(bm full-rows) err drows={e_rb:.2e} "
+          f"(rel {e_rb/scale:.2e}) dw={e_wb:.2e} -> "
+          f"{'ok' if good_bm else 'FAIL'}")
+    return good and good_b and good_bm
 
 
 def main() -> int:
