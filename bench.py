@@ -347,7 +347,7 @@ def main(argv=None):
     # land on rungs that under-measure relative to the proven batches.
     # The streamed sparse apply is batch-independent, so larger batches
     # amortize it (docs/NEXT_EXPERIMENTS.md #1).
-    ladder = sorted({args.batch, 49152, 32768, 16384, 8192, 4096},
+    ladder = sorted({args.batch, 65536, 49152, 32768, 16384, 8192, 4096},
                     reverse=True)
     ladder = [b for b in ladder if b <= args.batch] or [args.batch]
     value = 0.0
