@@ -36,6 +36,13 @@ def main():
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu for the 8-dev mesh)")
     ap.add_argument("--batch", type=int, default=32768)
+    ap.add_argument("--hier", default=None, metavar="HxC",
+                    help="also run the HIERARCHICAL host-level-dedup "
+                    "exchange on an HxC (host, chip) mesh split of the "
+                    "visible devices (e.g. 2x4); defaults to "
+                    "process_count x devices_per_process when more than "
+                    "one process is attached — the multi-host A/B "
+                    "SCALING_MODEL.md §6 asks for")
     ap.add_argument("--timeout", type=int, default=900,
                     help="whole-run watchdog seconds (the relay can hang "
                     "device ops forever; same rationale as bench.py)")
@@ -109,6 +116,38 @@ def main():
         print(json.dumps({"metric": "examples_per_s", "devices": ndev,
                           "value": round(multi, 1),
                           "scaling_efficiency": round(eff, 3)}))
+        del sstate
+
+        # --- hierarchical host-level-dedup exchange (A/B vs flat) ---
+        hier = args.hier
+        if hier is None and jax.process_count() > 1:
+            hier = (f"{jax.process_count()}x"
+                    f"{ndev // jax.process_count()}")
+        if hier:
+            from jax.sharding import PartitionSpec as P
+
+            from cffm_tpu.parallel.dcn_mesh import make_mesh_2d
+            from cffm_tpu.parallel.sharded_train import (
+                make_sharded_train_step_hier)
+
+            h, c = (int(x) for x in hier.lower().split("x"))
+            hcfg = dataclasses.replace(
+                scfg, sharding=dataclasses.replace(
+                    scfg.sharding, table_axis="hier"))
+            mesh2 = make_mesh_2d(h, c)
+            hstate = create_sharded_state(
+                hcfg, jax.random.key(0), mesh2,
+                table_pspec=P(("host", "chip"), None))
+            hstep = make_sharded_train_step_hier(hcfg, mesh2,
+                                                 interaction_fn)
+            hval = _measure(hstep, hstate, (ids, dense, labels), batch,
+                            rtt)
+            print(json.dumps({"metric": "examples_per_s",
+                              "devices": h * c, "exchange": "hier",
+                              "mesh": f"{h}x{c}",
+                              "value": round(hval, 1),
+                              "scaling_efficiency": round(
+                                  hval / (single * h * c), 3)}))
     return 0
 
 
