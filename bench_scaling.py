@@ -39,10 +39,13 @@ def main():
     ap.add_argument("--hier", default=None, metavar="HxC",
                     help="also run the HIERARCHICAL host-level-dedup "
                     "exchange on an HxC (host, chip) mesh split of the "
-                    "visible devices (e.g. 2x4); defaults to "
-                    "process_count x devices_per_process when more than "
-                    "one process is attached — the multi-host A/B "
-                    "SCALING_MODEL.md §6 asks for")
+                    "visible devices (e.g. 2x4) — the A/B leg "
+                    "SCALING_MODEL.md §6 asks for. NOTE: this script "
+                    "feeds process-local arrays, so it is single-"
+                    "process only (one controller, all devices "
+                    "addressable); on a real multi-host job drive "
+                    "train.py instead (it assembles global batches via "
+                    "make_array_from_process_local_data)")
     ap.add_argument("--timeout", type=int, default=900,
                     help="whole-run watchdog seconds (the relay can hang "
                     "device ops forever; same rationale as bench.py)")
@@ -120,9 +123,6 @@ def main():
 
         # --- hierarchical host-level-dedup exchange (A/B vs flat) ---
         hier = args.hier
-        if hier is None and jax.process_count() > 1:
-            hier = (f"{jax.process_count()}x"
-                    f"{ndev // jax.process_count()}")
         if hier:
             from jax.sharding import PartitionSpec as P
 

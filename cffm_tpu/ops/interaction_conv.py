@@ -178,7 +178,9 @@ def _fwd_pallas(emb2d: jax.Array, w2: jax.Array, cfg: ModelConfig, bt: int,
     or, when fm=True, FIELD-MAJOR (F, B, w_phys) rows (the raw layout of
     a gather with transposed ids; kills the (B*F,W)->(B,F*W) retiling
     copy that fed this kernel, ~10 ms/step at criteo bench shapes).
-    w2: (2*C1, (k+1)*P_pad). Returns (B, C1*d) [+ (8, B) f32 lin sums]."""
+    w2: ((k+1)*P_pad, 2*C1) — _prep_w_fwd's banded stacked layout,
+    host-transposed so the kernel's dot contracts sublanes.
+    Returns (B, C1*d) [+ (8, B) f32 lin sums]."""
     f = cfg.num_fields
     if fm:
         _, b, w_phys = emb2d.shape
@@ -428,10 +430,11 @@ def _pick_bt(b: int, dtype, cfg: ModelConfig, bwd: bool = False,
     d = cfg.embed_dim
     p_pad = _round_up(cfg.num_pairs, 8)
     if bwd:
-        # bwd holds: input block + et transpose + M2T, the dM scratch,
-        # gp halo, and the de output block; the dE slice-write scratch
-        # (the 4th F*w copy) exists only on the field_aware path
-        # (mirrors the scratch_shapes conditional in _bwd_pallas).
+        # bwd holds: input block + et transpose + M2T scratch, the
+        # a_m2/gws/dm dot operand values (~2 p_pad*d copies), gp halo,
+        # and the de output block; the dE slice-write scratch (the 4th
+        # F*w copy) exists only on the field_aware path (mirrors the
+        # scratch_shapes conditional in _bwd_pallas).
         fw_copies = 4 if cfg.cross == "field_aware" else 3
         per_lane = (fw_copies * cfg.num_fields * w + 3 * p_pad * d) * itemsize
     else:

@@ -34,7 +34,7 @@ from cffm_tpu.parallel import sharded_embedding as se
 from cffm_tpu.train import TrainState, merge_dense_params, split_dense_params
 
 AXIS = "data"
-HOST, CHIP = "host", "chip"  # axis names of the hierarchical 2D mesh
+from cffm_tpu.parallel.dcn_mesh import CHIP, HOST  # 2D-mesh axis names
 
 
 def _round_up(x: int, m: int) -> int:
@@ -43,21 +43,33 @@ def _round_up(x: int, m: int) -> int:
 
 class FlatRouter:
     """Exchange strategy: one all-to-all over the flat device axis
-    (sharded_embedding). The default; optimal inside one ICI domain."""
+    (sharded_embedding). The default; optimal inside one ICI domain.
+
+    Capacities are frozen at construction (they size the static
+    exchange buffers), but the distinct-id bound and the overflow-mask
+    elision are derived from the TRACED id shapes in build() — a step
+    retraced at a different batch than cfg.data.batch_size degrades to
+    masked+counted overflow instead of silently gathering garbage."""
 
     def __init__(self, axis: str, capacity: int, rows_per_shard: int,
-                 batch_unique: int, n_flat: int, num_shards: int):
+                 vocab_sizes, num_fields: int, num_shards: int):
         self.axis = axis
         self.axes = (axis,)          # psum axes for loss/dense grads
         self.capacity = capacity
         self.rows_per_shard = rows_per_shard
-        self.batch_unique = batch_unique
+        self.vocab_sizes = vocab_sizes
+        self.num_fields = num_fields
         self.num_shards = num_shards
-        # capacity statically covers the bound -> overflow impossible ->
-        # the lookups skip their full-width overflow masks
-        self.no_ovf = capacity >= min(n_flat, batch_unique)
+        self.batch_unique = None     # set per trace in build()
+        self.no_ovf = False
 
     def build(self, flat_ids):
+        n = flat_ids.shape[0]
+        self.batch_unique = unique_bound(self.vocab_sizes,
+                                         n // self.num_fields)
+        # capacity statically covers the bound -> overflow impossible ->
+        # the lookups skip their full-width overflow masks
+        self.no_ovf = self.capacity >= min(n, self.batch_unique)
         return se.build_routing(flat_ids, self.capacity, self.axis,
                                 rows_per_shard=self.rows_per_shard,
                                 max_unique=self.batch_unique)
@@ -82,10 +94,12 @@ class HierRouter:
     """Exchange strategy: two-stage hierarchical exchange over a
     ("host", "chip") mesh with HOST-LEVEL dedup (hier_embedding) —
     each host-distinct row crosses DCN once per direction. Same table
-    layout as FlatRouter (mod-sharding over the flattened axis)."""
+    layout as FlatRouter (mod-sharding over the flattened axis).
+    Same guard contract as FlatRouter: capacities static, bounds and
+    mask elision per traced shape."""
 
     def __init__(self, cap1: int, cap2: int, rows_per_shard: int,
-                 batch_unique: int, host_unique: int, n_flat: int,
+                 vocab_sizes, num_fields: int,
                  num_hosts: int, chips_per_host: int,
                  host_axis: str = HOST, chip_axis: str = CHIP):
         from cffm_tpu.parallel import hier_embedding as he
@@ -94,14 +108,24 @@ class HierRouter:
         self.axes = (host_axis, chip_axis)
         self.cap1, self.cap2 = cap1, cap2
         self.rows_per_shard = rows_per_shard
-        self.batch_unique = batch_unique
-        self.host_unique = host_unique
+        self.vocab_sizes = vocab_sizes
+        self.num_fields = num_fields
         self.num_shards = num_hosts * chips_per_host
         self.chips_per_host = chips_per_host
-        self.no_ovf = (cap1 >= min(n_flat, batch_unique),
-                       cap2 >= min(chips_per_host * cap1, host_unique))
+        self.batch_unique = None
+        self.host_unique = None
+        self.no_ovf = (False, False)
 
     def build(self, flat_ids):
+        n = flat_ids.shape[0]
+        b_loc = n // self.num_fields
+        self.batch_unique = unique_bound(self.vocab_sizes, b_loc)
+        self.host_unique = unique_bound(self.vocab_sizes,
+                                        b_loc * self.chips_per_host)
+        self.no_ovf = (
+            self.cap1 >= min(n, self.batch_unique),
+            self.cap2 >= min(self.chips_per_host * self.cap1,
+                             self.host_unique))
         return self._he.build_routing_hier(
             flat_ids, self.cap1, self.cap2, self.host_axis, self.chip_axis,
             self.rows_per_shard, max_unique1=self.batch_unique,
@@ -212,7 +236,9 @@ def _local_step(params, dense_opt_state, sparse_opt_state, step_no,
     from cffm_tpu.utils.debugging import collective_probe
 
     def dbg(tag):
-        collective_probe(tag, axes[0], cfg.debug_barriers)
+        # flattened shard index: on the hier mesh a host-only index
+        # would make all chips of a host print identically
+        collective_probe(tag, router.shard_index(), cfg.debug_barriers)
 
     dbg("routing-a2a:enter")
     routing = router.build(flat_ids)
@@ -307,7 +333,8 @@ def _make_flat_router(cfg: TrainConfig, t: int) -> FlatRouter:
                                 rows_per_shard=v_pad // t,
                                 max_unique=batch_unique,
                                 cap_rows=cfg.sharding.cap_rows)
-    return FlatRouter(AXIS, capacity, v_pad // t, batch_unique, n_local, t)
+    return FlatRouter(AXIS, capacity, v_pad // t, cfg.model.vocab_sizes,
+                      cfg.model.num_fields, t)
 
 
 def _make_hier_router(cfg: TrainConfig, mesh: Mesh) -> "HierRouter":
@@ -325,20 +352,12 @@ def _make_hier_router(cfg: TrainConfig, mesh: Mesh) -> "HierRouter":
         n_local, h, c, cfg.sharding.id_capacity_factor, v_pad // t,
         batch_unique, host_unique, cap_rows=cfg.sharding.cap_rows,
         cap_rows_host=cfg.sharding.cap_rows_host)
-    return HierRouter(cap1, cap2, v_pad // t, batch_unique, host_unique,
-                      n_local, h, c)
+    return HierRouter(cap1, cap2, v_pad // t, cfg.model.vocab_sizes,
+                      cfg.model.num_fields, h, c)
 
 
-def make_sharded_train_step(cfg: TrainConfig, mesh: Mesh, interaction_fn=None):
-    t = mesh.devices.size
-    router = _make_flat_router(cfg, t)
-
-    body = functools.partial(_local_step, cfg=cfg, router=router,
-                             interaction_fn=interaction_fn)
-
-    sh_table = P(AXIS, None)
+def _param_specs(cfg: TrainConfig, sh_table: P):
     repl = P()
-
     params_spec = {
         "embed": {"table": sh_table},
         "conv": repl, "tower": repl,
@@ -347,53 +366,15 @@ def make_sharded_train_step(cfg: TrainConfig, mesh: Mesh, interaction_fn=None):
         params_spec["linear"] = (
             {"bias": repl} if cfg.model.fused_linear
             else {"table": sh_table, "bias": repl})
-
-    def make_sparse_spec(state):
-        return jax.tree.map(lambda x: sh_table if x.ndim == 2 else repl, state)
-
-    def step(state: TrainState, ids, dense, labels):
-        sparse_specs = make_sparse_spec(state.sparse_opt_state)
-        fn = shard_map(
-            body, mesh=mesh,
-            in_specs=(params_spec, repl, sparse_specs, repl,
-                      P(AXIS), repl if dense is None else P(AXIS), P(AXIS)),
-            out_specs=(params_spec, repl, sparse_specs, repl),
-            check_vma=False,
-        )
-        new_params, new_dense_opt, new_sparse, m = fn(
-            state.params, state.dense_opt_state, state.sparse_opt_state,
-            state.step, ids, dense, labels)
-        return TrainState(state.step + 1, new_params, new_dense_opt, new_sparse), m
-
-    return jax.jit(step, donate_argnums=(0,))
+    return params_spec
 
 
-def make_sharded_train_step_hier(cfg: TrainConfig, mesh: Mesh,
-                                 interaction_fn=None):
-    """Train step over a ("host", "chip") mesh with the HIERARCHICAL
-    host-level-dedup exchange (parallel/hier_embedding.py). The table
-    layout is the flat mod-sharding over the flattened axis — same
-    storage as make_sharded_train_step on the equivalent flat mesh —
-    but each host-distinct row crosses the host boundary (DCN) once
-    per direction instead of once per requesting chip."""
-    router = _make_hier_router(cfg, mesh)
-
+def _make_train_step(cfg: TrainConfig, mesh: Mesh, interaction_fn, router,
+                     sh_table: P, batch: P):
     body = functools.partial(_local_step, cfg=cfg, router=router,
                              interaction_fn=interaction_fn)
-
-    both = (HOST, CHIP)
-    sh_table = P(both, None)
     repl = P()
-    batch = P(both)
-
-    params_spec = {
-        "embed": {"table": sh_table},
-        "conv": repl, "tower": repl,
-    }
-    if cfg.model.use_first_order:
-        params_spec["linear"] = (
-            {"bias": repl} if cfg.model.fused_linear
-            else {"table": sh_table, "bias": repl})
+    params_spec = _param_specs(cfg, sh_table)
 
     def make_sparse_spec(state):
         return jax.tree.map(lambda x: sh_table if x.ndim == 2 else repl, state)
@@ -414,6 +395,26 @@ def make_sharded_train_step_hier(cfg: TrainConfig, mesh: Mesh,
                           new_sparse), m
 
     return jax.jit(step, donate_argnums=(0,))
+
+
+def make_sharded_train_step(cfg: TrainConfig, mesh: Mesh, interaction_fn=None):
+    router = _make_flat_router(cfg, mesh.devices.size)
+    return _make_train_step(cfg, mesh, interaction_fn, router,
+                            sh_table=P(AXIS, None), batch=P(AXIS))
+
+
+def make_sharded_train_step_hier(cfg: TrainConfig, mesh: Mesh,
+                                 interaction_fn=None):
+    """Train step over a ("host", "chip") mesh with the HIERARCHICAL
+    host-level-dedup exchange (parallel/hier_embedding.py). The table
+    layout is the flat mod-sharding over the flattened axis — same
+    storage as make_sharded_train_step on the equivalent flat mesh —
+    but each host-distinct row crosses the host boundary (DCN) once
+    per direction instead of once per requesting chip."""
+    router = _make_hier_router(cfg, mesh)
+    both = (HOST, CHIP)
+    return _make_train_step(cfg, mesh, interaction_fn, router,
+                            sh_table=P(both, None), batch=P(both))
 
 
 def wrap_wire_step(step, wire_spec, mcfg):
@@ -461,15 +462,10 @@ def _eval_body(params, auc_state, ids, dense, labels, mask,
 
 def _make_eval_step(cfg: TrainConfig, mesh: Mesh, interaction_fn, router,
                     sh_table: P, batch: P):
-    mcfg = cfg.model
     repl = P()
     body = functools.partial(_eval_body, cfg=cfg, router=router,
                              interaction_fn=interaction_fn)
-    params_spec = {"embed": {"table": sh_table}, "conv": repl, "tower": repl}
-    if mcfg.use_first_order:
-        params_spec["linear"] = (
-            {"bias": repl} if mcfg.fused_linear
-            else {"table": sh_table, "bias": repl})
+    params_spec = _param_specs(cfg, sh_table)
 
     def step(state: TrainState, auc_state, ids, dense, labels, mask=None):
         # mask: 0/1 weights for full-pass eval tail padding (train.py)

@@ -18,9 +18,16 @@ from __future__ import annotations
 import jax
 
 
-def collective_probe(tag: str, axis: str, enabled: bool) -> None:
-    """Emit `[collective] <tag> shard=<i>` from inside shard_map."""
+def collective_probe(tag: str, index, enabled: bool) -> None:
+    """Emit `[collective] <tag> shard=<i>` from inside shard_map.
+
+    index: the device's GLOBAL shard index (a traced scalar, e.g.
+    router.shard_index()) or an axis name. On multi-axis meshes pass
+    the flattened index — printing only one axis would make a hang in
+    the other axis's collective indistinguishable across devices."""
     if not enabled:
         return
+    if isinstance(index, str):
+        index = jax.lax.axis_index(index)
     jax.debug.print("[collective] " + tag + " shard={i}",
-                    i=jax.lax.axis_index(axis), ordered=False)
+                    i=index, ordered=False)

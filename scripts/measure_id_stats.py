@@ -129,22 +129,26 @@ def measure(cfg, batch, steps, topologies):
     # after host-level dedup), what fraction sits in the global top-K
     # hottest rows? That fraction is the DCN traffic replication of the
     # top-K head could remove — against a psum cost of K*W bytes/step.
-    allids = np.concatenate([g.reshape(-1) for g in batches])
-    freq_ids, freq = np.unique(allids, return_counts=True)
-    order = np.argsort(-freq)
-    head_rank = {}  # id -> popularity rank
-    ranked = freq_ids[order]
+    # Uses the first measured multi-host topology from `topologies`.
+    multi = [(h, c) for (h, c) in topologies if h > 1 and batch % (h * c) == 0]
     out["head_overlap"] = {}
-    h, c = 2, 8
-    if batch % (h * c) == 0:
+    if multi:
+        h, c = multi[0]
+        allids = np.concatenate([g.reshape(-1) for g in batches])
+        freq_ids, freq = np.unique(allids, return_counts=True)
+        ranked = freq_ids[np.argsort(-freq)]
         b_loc = batch // (h * c)
         host_u = np.unique(batches[0].reshape(h, b_loc * c * f)[0])
         pos = np.full(int(freq_ids.max()) + 1, -1, np.int64)
         pos[ranked] = np.arange(len(ranked))
         ranks = pos[host_u]
+        out["head_overlap_topology"] = f"{h}x{c}"
         for k in (1 << 14, 1 << 16, 1 << 18):
             frac = float(np.mean((ranks >= 0) & (ranks < k)))
             out["head_overlap"][str(k)] = frac
+    else:
+        print("head-overlap analysis skipped: no multi-host topology "
+              "divides the batch", flush=True)
     return out
 
 
@@ -188,8 +192,9 @@ def main():
                   f"{r['dcn_rows_per_host_step']:.0f} "
                   f"= {gb:.3f} GB/host/step one-way")
     if out.get("head_overlap"):
-        print("\n== hot-row replication: fraction of 2x8 HOST-distinct "
-              "rows inside the global top-K head ==")
+        print(f"\n== hot-row replication: fraction of "
+              f"{out['head_overlap_topology']} HOST-distinct rows inside "
+              f"the global top-K head ==")
         for k, frac in out["head_overlap"].items():
             print(f"  K={int(k):>7}: {frac:.3f}")
     if args.json:

@@ -251,6 +251,38 @@ def test_hier_step_forced_overflow(eight_devices, mesh2d):
     assert bool(jnp.isfinite(state.params["embed"]["table"]).all())
 
 
+def test_hier_step_bf16_exchange_finite_and_learns(eight_devices, mesh2d):
+    """compute_dtype=bfloat16 on the hier path: BOTH grad exchanges
+    (ICI partial sums + the DCN host pre-sum) ride bf16 payloads
+    through the Pallas sorted-segment kernel twice; the step must stay
+    finite, learn, and leave untouched rows bit-identical."""
+    cfg = _cfg()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, compute_dtype="bfloat16"))
+    state = create_sharded_state(cfg, jax.random.key(2), mesh2d,
+                                 table_pspec=P((HOST, CHIP), None))
+    t0 = np.asarray(state.params["embed"]["table"])
+    step = make_sharded_train_step_hier(cfg, mesh2d)
+    losses = []
+    for s in range(6):
+        ids, labels = _batch(cfg, seed=s % 2)
+        state, m = step(state, ids, None, labels)
+        losses.append(float(m["loss"]))
+        assert int(m["overflow"]) == 0
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+    # rows never referenced by either batch are bit-identical
+    touched = np.zeros(t0.shape[0], bool)
+    t = T
+    for s in range(2):
+        ids, _ = _batch(cfg, seed=s)
+        flat = np.asarray(ids).reshape(-1)
+        stor = (flat % t) * (t0.shape[0] // t) + flat // t
+        touched[stor] = True
+    t1 = np.asarray(state.params["embed"]["table"])
+    np.testing.assert_array_equal(t1[~touched], t0[~touched])
+
+
 def test_hier_eval_matches_flat_eval(eight_devices, mesh2d):
     from cffm_tpu import metrics
 
