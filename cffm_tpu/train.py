@@ -225,11 +225,16 @@ def default_interaction_fn(cfg: TrainConfig):
     return None
 
 
-def run(cfg: TrainConfig, interaction_fn=None, log_fn=print) -> Dict:
+def run(cfg: TrainConfig, interaction_fn=None, log_fn=print,
+        preemption_guard=None) -> Dict:
     """Full train-then-eval for one config.
 
     Dispatches between the replicated single-device path and the
     row-sharded SPMD path (cfg.sharding.table_sharded + >1 device).
+    preemption_guard: optional utils.preemption.PreemptionGuard (a
+    default SIGTERM guard is installed when None): on signal, all
+    hosts agree on a stop step, save a final checkpoint, run the
+    normal eval, and return with result["preempted_at_step"] set.
     """
     from cffm_tpu.data.loader import make_dataset
 
@@ -402,12 +407,20 @@ def run(cfg: TrainConfig, interaction_fn=None, log_fn=print) -> Dict:
                 for k, v in metrics.auc_state_finalize(auc_state).items()}
 
     from cffm_tpu.data.loader import device_prefetch
+    from cffm_tpu.utils.preemption import PreemptionGuard
     from cffm_tpu.utils.tb import ScalarWriter
 
     # Event files only from host 0 (every host computes identical
     # psum'd metrics; duplicate writers would fight over the dir).
     tb = ScalarWriter(cfg.tensorboard_dir if jax.process_index() == 0
                       else None)
+    # SIGTERM -> cooperative stop at a step boundary with a final
+    # checkpoint (SURVEY.md §6 failure-detection row): preemption
+    # costs at most `stop_every` steps of progress instead of
+    # everything since the last periodic checkpoint.
+    guard = PreemptionGuard() if preemption_guard is None else preemption_guard
+    stop_every = cfg.log_every or 50
+    preempted_at = None
     dev_ds = device_prefetch(ds, to_device)
     t0 = time.time()
     examples = 0
@@ -442,6 +455,16 @@ def run(cfg: TrainConfig, interaction_fn=None, log_fn=print) -> Dict:
             tb.scalars(step + 1, {f"eval/{k}": v for k, v in ev.items()})
         if ckpt_mgr and cfg.checkpoint_every and (step + 1) % cfg.checkpoint_every == 0:
             ckpt_mgr.save(step + 1, state, cfg, num_shards=num_shards)
+        if (step + 1) % stop_every == 0 and guard.sync():
+            # every host agrees (sync is a collective): stop at the
+            # same step, save, and fall through to the normal eval/exit
+            preempted_at = step + 1
+            if ckpt_mgr:
+                ckpt_mgr.save(step + 1, state, cfg, num_shards=num_shards,
+                              wait=True)
+            log_fn(json.dumps({"preempted_at_step": preempted_at,
+                               "checkpoint_saved": bool(ckpt_mgr)}))
+            break
 
     result = run_eval()
     if math.isnan(last_loss) and cfg.data.num_train_steps > start_step:
@@ -449,13 +472,20 @@ def run(cfg: TrainConfig, interaction_fn=None, log_fn=print) -> Dict:
         # step's loss instead of a misleading NaN (one D2H readback).
         last_loss = float(m["loss"])
     result["final_train_loss"] = last_loss
+    if preempted_at is not None:
+        result["preempted_at_step"] = preempted_at
+    guard.close()
     log_fn(json.dumps({"eval": result}))
     tb.scalars(cfg.data.num_train_steps,
                {f"eval/{k}": v for k, v in result.items()})
     tb.close()
     if ckpt_mgr:
-        ckpt_mgr.save(cfg.data.num_train_steps, state, cfg,
-                      num_shards=num_shards, wait=True)
+        if preempted_at is None:
+            # a preempted run already saved at its stop step; writing
+            # the num_train_steps checkpoint here would make resume
+            # believe the run completed
+            ckpt_mgr.save(cfg.data.num_train_steps, state, cfg,
+                          num_shards=num_shards, wait=True)
         ckpt_mgr.close()
     return result
 
