@@ -41,6 +41,15 @@ class ModelConfig:
     # state stays f32 either way.
     table_dtype: str = "float32"
     use_pallas: bool = True  # fused cross+conv kernel (auto-interprets off-TPU)
+    # Hybrid lookup: the LEADING fields whose vocab <= this threshold
+    # are looked up by one-hot MXU matmuls against a VMEM-scale table
+    # prefix (differentiable -> dense per-row update) instead of the
+    # HBM row gather, and their ids leave the sort/dedup/scatter
+    # pipeline entirely. Criteo's 13 integer-bucket fields (vocab 64,
+    # 832 rows ~ 1 MB) are 1/3 of both 39-ms row gathers at the bench
+    # point (docs/PLATFORM_NOTES.md budget) for one-off matmul work.
+    # Engages on the field-major train path with adagrad/sgd; 0 = off.
+    small_field_threshold: int = 512
 
     def __post_init__(self):
         assert len(self.vocab_sizes) == self.num_fields
@@ -80,6 +89,27 @@ class ModelConfig:
     @property
     def total_vocab(self) -> int:
         return int(sum(self.vocab_sizes))
+
+    @property
+    def small_field_prefix(self) -> int:
+        """Number of LEADING fields with vocab <= small_field_threshold
+        (the hybrid one-hot lookup works on a contiguous table prefix;
+        small fields after a big one simply don't qualify). The prefix
+        is capped so its row block stays VMEM-scale (<= 4096 rows)."""
+        if self.small_field_threshold <= 0:
+            return 0
+        fs, rows = 0, 0
+        for v in self.vocab_sizes:
+            if v > self.small_field_threshold or rows + v > 4096:
+                break
+            fs += 1
+            rows += int(v)
+        return fs
+
+    @property
+    def small_rows(self) -> int:
+        """Rows of the small-field table prefix ([0, small_rows))."""
+        return int(sum(self.vocab_sizes[: self.small_field_prefix]))
 
     @property
     def conv_out_dim(self) -> int:

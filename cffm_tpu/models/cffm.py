@@ -125,6 +125,38 @@ def embedding_lookup_fm(params: Dict, ids_fm: jax.Array, cfg: ModelConfig):
     return jnp.take(params["embed"]["table"], ids_fm, axis=0, mode="clip")
 
 
+def onehot_lookup_fm(table_small: jax.Array, ids_fm_small: jax.Array,
+                     cfg: ModelConfig, out_dtype=None) -> jax.Array:
+    """One-hot MXU lookup of the small-field table prefix.
+
+    table_small: (small_rows, table_width) — the table's leading block
+    (small fields' offsets start at 0 because they are a field PREFIX).
+    ids_fm_small: (small_field_prefix, B) GLOBAL ids. Returns
+    (small_field_prefix, B, table_width).
+
+    Per field: onehot (B, v_f) @ table_small[off:off+v_f] — one MXU
+    matmul instead of B scattered HBM row reads (each of which drags
+    its full (8,128) tile neighborhood: the measured gather floor,
+    docs/PLATFORM_NOTES.md). Exactness: each output row is exactly one
+    1.0 * row product (a one-hot contraction), so this is BIT-equal to
+    the gather in any dtype. Differentiable w.r.t. table_small —
+    autodiff of the matmul IS the dedup-summed per-row gradient, so
+    the small block takes the dense per-row update
+    (optim.rowwise.dense_rowwise_apply) and its ids never enter the
+    sort/dedup/scatter pipeline."""
+    dt = out_dtype or table_small.dtype
+    outs = []
+    off = 0
+    for f in range(cfg.small_field_prefix):
+        v = int(cfg.vocab_sizes[f])
+        oh = (ids_fm_small[f][:, None]
+              == (off + jnp.arange(v, dtype=ids_fm_small.dtype))[None, :]
+              ).astype(dt)
+        outs.append(oh @ table_small[off:off + v].astype(dt))
+        off += v
+    return jnp.stack(outs, axis=0)
+
+
 def forward_from_rows_fm(
     params: Dict,
     emb3: jax.Array,
@@ -139,6 +171,40 @@ def forward_from_rows_fm(
     cdt = jnp.dtype(cfg.compute_dtype)
     feats, lin_sum = interaction_fn.full_rows_fm(
         emb3.astype(cdt), params["conv"], cfg)
+    if dense is not None and cfg.num_dense > 0:
+        feats = jnp.concatenate([feats, dense.astype(cdt)], axis=-1)
+    logits = _tower(params, feats, cfg).astype(jnp.float32)
+    logits = logits + lin_sum
+    logits = logits + params["linear"]["bias"].astype(jnp.float32)
+    return logits
+
+
+def forward_from_rows_fm2(
+    params: Dict,
+    emb_small: jax.Array,
+    emb_big: Optional[jax.Array],
+    dense: Optional[jax.Array],
+    cfg: ModelConfig,
+    *,
+    interaction_fn,
+) -> jax.Array:
+    """Split-operand twin of forward_from_rows_fm for the hybrid
+    small/big lookup: emb_small (Fs, B, W) from onehot_lookup_fm,
+    emb_big (Fb, B, W) from the gather. Routes to the split kernel
+    (interaction_fn.full_rows_fm2) when available — no HBM concat —
+    and falls back to concat + the single-operand path otherwise
+    (reference/jnp configurations)."""
+    fn2 = getattr(interaction_fn, "full_rows_fm2", None)
+    if emb_big is None:
+        return forward_from_rows_fm(params, emb_small, dense, cfg,
+                                    interaction_fn=interaction_fn)
+    if fn2 is None:
+        emb3 = jnp.concatenate([emb_small, emb_big], axis=0)
+        return forward_from_rows_fm(params, emb3, dense, cfg,
+                                    interaction_fn=interaction_fn)
+    cdt = jnp.dtype(cfg.compute_dtype)
+    feats, lin_sum = fn2(emb_small.astype(cdt), emb_big.astype(cdt),
+                         params["conv"], cfg)
     if dense is not None and cfg.num_dense > 0:
         feats = jnp.concatenate([feats, dense.astype(cdt)], axis=-1)
     logits = _tower(params, feats, cfg).astype(jnp.float32)

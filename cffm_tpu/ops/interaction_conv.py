@@ -129,17 +129,29 @@ def _build_m2t(et, m2t, cfg: ModelConfig, p_pad: int, bt: int):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(e_ref, w2_ref, *refs, cfg: ModelConfig,
+def _fwd_kernel(*args, cfg: ModelConfig,
                 p_pad: int, bt: int, c1: int, w_phys: int, lin: bool,
-                fm: bool = False):
+                fm: bool = False, fm_parts: tuple | None = None):
     f, d, k = cfg.num_fields, cfg.embed_dim, cfg.conv_kernel
     kw = k + 1  # tap window width for the 2-stacked-output trick
+    ne = len(fm_parts) if fm_parts else 1
+    e_refs, w2_ref, refs = args[:ne], args[ne], args[ne + 1:]
     if lin:
         y_ref, lin_ref, m2t = refs
     else:
         (y_ref,), m2t = refs[:-1], refs[-1]
 
-    et = _build_et_fm(e_ref) if fm else _build_et(e_ref, f, w_phys, bt)
+    if fm_parts:
+        # split field-major operands (hybrid small/big lookup,
+        # train._loss_fm_hybrid): the HBM-level concat of the one-hot
+        # and gathered blocks measured 7.3 ms/step at criteo bench
+        # shapes; concatenating the transposed blocks in VMEM here is
+        # register-level
+        et = jnp.concatenate([_build_et_fm(r) for r in e_refs], axis=0)
+    elif fm:
+        et = _build_et_fm(e_refs[0])
+    else:
+        et = _build_et(e_refs[0], f, w_phys, bt)
     _build_m2t(et, m2t, cfg, p_pad, bt)
 
     # ((k+1)*P_pad, 2*C1), pre-flattened AND pre-transposed on host:
@@ -180,12 +192,24 @@ def _fwd_pallas(emb2d: jax.Array, w2: jax.Array, cfg: ModelConfig, bt: int,
     copy that fed this kernel, ~10 ms/step at criteo bench shapes).
     w2: ((k+1)*P_pad, 2*C1) — _prep_w_fwd's banded stacked layout,
     host-transposed so the kernel's dot contracts sublanes.
+    When fm=True, emb2d may also be a TUPLE of field-major arrays
+    ((F1, B, w), (F2, B, w), ...; field counts summing to F): the SPLIT
+    operands of the hybrid small/big lookup, concatenated along the
+    field axis in VMEM instead of HBM (the HBM concat measured 7.3
+    ms/step at criteo bench shapes).
     Returns (B, C1*d) [+ (8, B) f32 lin sums]."""
     f = cfg.num_fields
-    if fm:
+    fm_parts = None
+    if fm and isinstance(emb2d, (tuple, list)):
+        parts = tuple(emb2d)
+        fm_parts = tuple(int(p.shape[0]) for p in parts)
+        assert sum(fm_parts) == f
+        _, b, w_phys = parts[0].shape
+    elif fm:
+        parts = (emb2d,)
         _, b, w_phys = emb2d.shape
-        fw = f * w_phys
     else:
+        parts = (emb2d,)
         b, fw = emb2d.shape
         w_phys = fw // f
     kwp, c2 = w2.shape
@@ -193,10 +217,11 @@ def _fwd_pallas(emb2d: jax.Array, w2: jax.Array, cfg: ModelConfig, bt: int,
     kw = cfg.conv_kernel + 1
     p_pad = kwp // kw
     d = cfg.embed_dim
-    dtype = emb2d.dtype
+    dtype = parts[0].dtype
 
     kernel = functools.partial(_fwd_kernel, cfg=cfg, p_pad=p_pad, bt=bt,
-                               c1=c1, w_phys=w_phys, lin=lin, fm=fm)
+                               c1=c1, w_phys=w_phys, lin=lin, fm=fm,
+                               fm_parts=fm_parts)
     out_specs = [pl.BlockSpec((bt, c1 * d), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)]
     out_shape = [jax.ShapeDtypeStruct((b, c1 * d), dtype)]
@@ -204,15 +229,11 @@ def _fwd_pallas(emb2d: jax.Array, w2: jax.Array, cfg: ModelConfig, bt: int,
         out_specs.append(pl.BlockSpec((8, bt), lambda i: (0, i),
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((8, b), jnp.float32))
-    e_spec = (pl.BlockSpec((f, bt, w_phys), lambda i: (0, i, 0),
-                           memory_space=pltpu.VMEM) if fm
-              else pl.BlockSpec((bt, fw), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM))
+    e_specs = _e_specs(parts, fm, bt, w_phys, f)
     outs = pl.pallas_call(
         kernel,
         grid=(b // bt,),
-        in_specs=[
-            e_spec,
+        in_specs=e_specs + [
             pl.BlockSpec((kwp, c2), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
@@ -223,8 +244,20 @@ def _fwd_pallas(emb2d: jax.Array, w2: jax.Array, cfg: ModelConfig, bt: int,
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(emb2d, w2)
+    )(*parts, w2)
     return outs if lin else outs[0]
+
+
+def _e_specs(parts, fm: bool, bt: int, w_phys: int, f: int):
+    """BlockSpecs for the embedding operand(s): per-part field-major
+    blocks, or one flat-2D block (see _build_et's DMA note)."""
+    if fm:
+        def mk(nf):
+            return pl.BlockSpec((nf, bt, w_phys), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)
+        return [mk(int(p.shape[0])) for p in parts]
+    return [pl.BlockSpec((bt, f * w_phys), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)]
 
 
 # ---------------------------------------------------------------------------
@@ -232,25 +265,41 @@ def _fwd_pallas(emb2d: jax.Array, w2: jax.Array, cfg: ModelConfig, bt: int,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(e_ref, wr_ref, g_ref, *refs, cfg: ModelConfig,
+def _bwd_kernel(*args, cfg: ModelConfig,
                 p_pad: int, bt: int, c1: int, w_phys: int, lin: bool,
-                fm: bool = False):
+                fm: bool = False, fm_parts: tuple | None = None):
     f, d, k = cfg.num_fields, cfg.embed_dim, cfg.conv_kernel
     fa = cfg.cross == "field_aware"
     half = k // 2
+    ne = len(fm_parts) if fm_parts else 1
+    e_refs = args[:ne]
+    wr_ref, g_ref = args[ne], args[ne + 1]
+    refs = args[ne + 2:]
     if fa:
         if lin:
-            gl_ref, de_ref, dw_ref, m2t, gp, des = refs
+            gl_ref = refs[0]
+            de_refs = refs[1:1 + ne]
+            dw_ref, m2t, gp, des = refs[1 + ne:]
         else:
-            de_ref, dw_ref, m2t, gp, des = refs
+            de_refs = refs[:ne]
+            dw_ref, m2t, gp, des = refs[ne:]
     else:
         if lin:
-            gl_ref, de_ref, dw_ref, m2t, gp = refs
+            gl_ref = refs[0]
+            de_refs = refs[1:1 + ne]
+            dw_ref, m2t, gp = refs[1 + ne:]
         else:
-            de_ref, dw_ref, m2t, gp = refs
+            de_refs = refs[:ne]
+            dw_ref, m2t, gp = refs[ne:]
+    de_ref = de_refs[0]
 
     # Remat forward layout stages.
-    et = _build_et_fm(e_ref) if fm else _build_et(e_ref, f, w_phys, bt)
+    if fm_parts:
+        et = jnp.concatenate([_build_et_fm(r) for r in e_refs], axis=0)
+    elif fm:
+        et = _build_et_fm(e_refs[0])
+    else:
+        et = _build_et(e_refs[0], f, w_phys, bt)
     _build_m2t(et, m2t, cfg, p_pad, bt)
 
     # g (Bt, C1*d) -> gp (d + 2*half, C1, Bt) zero-padded halo.
@@ -329,7 +378,15 @@ def _bwd_kernel(e_ref, wr_ref, g_ref, *refs, cfg: ModelConfig,
             if w_phys > lw + 1:
                 des[:, lw + 1 :, :] = jnp.zeros((f, w_phys - lw - 1, bt),
                                                 des.dtype)
-        if fm:
+        if fm_parts:
+            # split field-major outputs: each part gets its slice of
+            # the assembly scratch (static field ranges)
+            off = 0
+            for r, nf in zip(de_refs, fm_parts):
+                r[...] = jnp.swapaxes(des[off:off + nf], 1, 2
+                                      ).astype(r.dtype)
+                off += nf
+        elif fm:
             # field-major output (F, Bt, w_phys): batched 2D transpose,
             # the exact inverse of _build_et_fm
             de_ref[...] = jnp.swapaxes(des[...], 1, 2).astype(de_ref.dtype)
@@ -356,49 +413,55 @@ def _bwd_kernel(e_ref, wr_ref, g_ref, *refs, cfg: ModelConfig,
 
 def _bwd_pallas(emb2d, wr, g, cfg: ModelConfig, bt: int, interpret: bool,
                 glin=None, fm: bool = False):
+    """emb2d follows _fwd_pallas' contract (incl. the fm tuple form:
+    split operands get SPLIT dE outputs — a tuple in the same field
+    partition, no HBM concat/slice on either side)."""
     f = cfg.num_fields
-    if fm:
+    fm_parts = None
+    if fm and isinstance(emb2d, (tuple, list)):
+        parts = tuple(emb2d)
+        fm_parts = tuple(int(p.shape[0]) for p in parts)
+        assert sum(fm_parts) == f
+        _, b, w_phys = parts[0].shape
+    elif fm:
+        parts = (emb2d,)
         _, b, w_phys = emb2d.shape
-        fw = f * w_phys
     else:
+        parts = (emb2d,)
         b, fw = emb2d.shape
         w_phys = fw // f
     kc, p_pad = wr.shape
     k = cfg.conv_kernel
     c1 = kc // k
     d = cfg.embed_dim
-    dtype = emb2d.dtype
+    dtype = parts[0].dtype
     lin = glin is not None
     kernel = functools.partial(_bwd_kernel, cfg=cfg, p_pad=p_pad, bt=bt,
-                               c1=c1, w_phys=w_phys, lin=lin, fm=fm)
-    e_spec = (pl.BlockSpec((f, bt, w_phys), lambda i: (0, i, 0),
-                           memory_space=pltpu.VMEM) if fm
-              else pl.BlockSpec((bt, fw), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM))
-    in_specs = [
-        e_spec,
+                               c1=c1, w_phys=w_phys, lin=lin, fm=fm,
+                               fm_parts=fm_parts)
+    e_specs = _e_specs(parts, fm, bt, w_phys, f)
+    in_specs = e_specs + [
         pl.BlockSpec((kc, p_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((bt, c1 * d), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ]
-    in_arrays = [emb2d, wr, g]
+    in_arrays = list(parts) + [wr, g]
     if lin:
         in_specs.append(pl.BlockSpec((8, bt), lambda i: (0, i),
                                      memory_space=pltpu.VMEM))
         in_arrays.append(jnp.broadcast_to(
             glin.astype(jnp.float32)[None, :], (8, b)))
-    de_shape = (f, b, w_phys) if fm else (b, fw)
-    de, dw = pl.pallas_call(
+    de_shapes = ([jax.ShapeDtypeStruct(p.shape, dtype) for p in parts]
+                 if fm else [jax.ShapeDtypeStruct((b, f * w_phys), dtype)])
+    outs = pl.pallas_call(
         kernel,
         grid=(b // bt,),
         in_specs=in_specs,
-        out_specs=[
-            e_spec,
+        out_specs=e_specs + [
             # one dW partial per batch tile; summed outside
             pl.BlockSpec((1, k, p_pad, c1), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct(de_shape, dtype),
+        out_shape=de_shapes + [
             jax.ShapeDtypeStruct((b // bt, k, p_pad, c1), jnp.float32),
         ],
         scratch_shapes=[
@@ -409,7 +472,10 @@ def _bwd_pallas(emb2d, wr, g, cfg: ModelConfig, bt: int, interpret: bool,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*in_arrays)
-    return de, jnp.sum(dw, axis=0)
+    dw = jnp.sum(outs[-1], axis=0)
+    if fm_parts:
+        return tuple(outs[:-1]), dw
+    return outs[0], dw
 
 
 # ---------------------------------------------------------------------------
@@ -663,6 +729,60 @@ cross_conv1_lin_fm_pallas.defvjp(_cross_conv1_lin_fm_fwd,
                                  _cross_conv1_lin_fm_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def cross_conv1_lin_fm2_pallas(e_small: jax.Array, e_big: jax.Array,
+                               w1: jax.Array, cfg: ModelConfig, bt: int = 0,
+                               interpret: bool | None = None):
+    """Split-operand twin of cross_conv1_lin_fm_pallas for the hybrid
+    small/big lookup (models.onehot_lookup_fm + gather): e_small
+    (Fs, B, W) and e_big (Fb, B, W) with Fs + Fb = F are concatenated
+    along fields IN VMEM per batch tile, and dE comes back as the same
+    two parts — the HBM-level concat (fwd) + slice (bwd) this avoids
+    measured 7.3 + 6.8 ms/step at criteo bench shapes (round 5)."""
+    (y, lin), _ = _cc_fm2_fwd(e_small, e_big, w1, cfg, bt, interpret)
+    return y, lin
+
+
+def _cc_fm2_fwd(e_small, e_big, w1, cfg, bt, interpret):
+    assert cfg.cross == "field_aware" and cfg.fused_linear
+    assert cfg.embed_dim % 2 == 0 and cfg.conv_kernel % 2 == 1
+    if interpret is None:
+        interpret = _auto_interpret()
+    b = e_small.shape[1]
+    assert e_small.shape[0] + e_big.shape[0] == cfg.num_fields
+    assert e_small.shape[2] == e_big.shape[2] == cfg.table_width
+    if bt == 0:
+        bt = _pick_bt(b, e_small.dtype, cfg, w_phys=cfg.table_width)
+    p_pad = _round_up(cfg.num_pairs, 8)
+    w2 = _prep_w_fwd(w1, cfg, p_pad, e_small.dtype)
+    y2, lin8 = _fwd_pallas((e_small, e_big), w2, cfg, bt, interpret,
+                           lin=True, fm=True)
+    c1 = w1.shape[0]
+    y = y2.reshape(b, c1, cfg.embed_dim)
+    return (y, lin8[0]), (e_small, e_big, w1)
+
+
+def _cc_fm2_bwd(cfg, bt, interpret, res, gys):
+    e_small, e_big, w1 = res
+    gy, glin = gys
+    if interpret is None:
+        interpret = _auto_interpret()
+    b = e_small.shape[1]
+    if bt == 0:
+        bt = _pick_bt(b, e_small.dtype, cfg, bwd=True, w_phys=cfg.table_width)
+    p_pad = _round_up(cfg.num_pairs, 8)
+    wr = _prep_w_bwd(w1, cfg, p_pad, e_small.dtype)
+    c1, p, k = w1.shape
+    g2 = gy.reshape(b, c1 * cfg.embed_dim).astype(e_small.dtype)
+    (de_s, de_b), dwp = _bwd_pallas((e_small, e_big), wr, g2, cfg, bt,
+                                    interpret, glin=glin, fm=True)
+    dw = jnp.transpose(dwp[:, :p, :], (2, 1, 0)).astype(w1.dtype)
+    return de_s.astype(e_small.dtype), de_b.astype(e_big.dtype), dw
+
+
+cross_conv1_lin_fm2_pallas.defvjp(_cc_fm2_fwd, _cc_fm2_bwd)
+
+
 # ---------------------------------------------------------------------------
 # Drop-in interaction_fn for the model
 # ---------------------------------------------------------------------------
@@ -725,5 +845,13 @@ def make_interaction_fn(use_pallas: bool = True, bt: int = 0,
             return _conv_tail(y, conv_params, cfg), lin_sum
 
         interaction_fn.full_rows_fm = full_rows_fm
+
+        def full_rows_fm2(e_small, e_big, conv_params, cfg: ModelConfig):
+            layer1 = conv_params[0]
+            y, lin_sum = cross_conv1_lin_fm2_pallas(
+                e_small, e_big, layer1["w"], cfg, bt, interpret)
+            return _conv_tail(y, conv_params, cfg), lin_sum
+
+        interaction_fn.full_rows_fm2 = full_rows_fm2
 
     return interaction_fn

@@ -84,6 +84,23 @@ def _loss_from_rows_fm(dense_params, emb3, batch_dense, labels, params, cfg,
     return metrics.logloss(logits, labels), logits
 
 
+def _loss_fm_hybrid(dense_params, table_small, emb3_big, ids_small,
+                    batch_dense, labels, params, cfg, interaction_fn):
+    """fm loss with the small-field one-hot lookup INSIDE the
+    differentiated region: grads w.r.t. table_small come back DENSE
+    (small_rows, W) — already dedup-summed by the matmul transpose —
+    while the big fields keep the rows-as-activations route."""
+    mcfg = cfg.model
+    cdt = jnp.dtype(mcfg.compute_dtype)
+    emb3_small = model_lib.onehot_lookup_fm(table_small, ids_small, mcfg,
+                                            out_dtype=cdt)
+    full = merge_dense_params(params, dense_params)
+    logits = model_lib.forward_from_rows_fm2(
+        full, emb3_small, emb3_big, batch_dense, mcfg,
+        interaction_fn=interaction_fn)
+    return metrics.logloss(logits, labels), logits
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "interaction_fn"), donate_argnums=(0,))
 def train_step(
     state: TrainState,
@@ -100,15 +117,42 @@ def train_step(
     # so the looked-up rows land in the layout the fm kernel and the
     # per-field sort consume directly — no (B*F,W)<->(B,F*W) retiling.
     fm = model_lib.wants_field_major(params, mcfg, interaction_fn)
+    # Hybrid small-field path: leading small-vocab fields via one-hot
+    # MXU lookup + dense per-row update (their ids skip the gather AND
+    # the sort/dedup/scatter pipeline); dense-form update exists for
+    # adagrad/sgd only (optim.rowwise.dense_rowwise_apply).
+    fs = (mcfg.small_field_prefix
+          if fm and cfg.optim.sparse_optimizer in ("adagrad", "sgd") else 0)
+    dtab_small = None
     if fm:
         ids_fm = ids.T  # (F, B)
-        emb3 = model_lib.embedding_lookup_fm(params, ids_fm, mcfg)
-        emb3 = emb3.astype(jnp.dtype(mcfg.compute_dtype))
-        (loss, logits), (dgrads, demb) = jax.value_and_grad(
-            _loss_from_rows_fm, argnums=(0, 1), has_aux=True)(
-            split_dense_params(params), emb3, dense, labels, params, cfg,
-            interaction_fn,
-        )
+        if fs:
+            table_small = params["embed"]["table"][: mcfg.small_rows]
+            if fs < mcfg.num_fields:
+                emb3_big = model_lib.embedding_lookup_fm(
+                    params, ids_fm[fs:], mcfg
+                ).astype(jnp.dtype(mcfg.compute_dtype))
+                (loss, logits), (dgrads, dtab_small, demb) = (
+                    jax.value_and_grad(
+                        _loss_fm_hybrid, argnums=(0, 1, 2), has_aux=True)(
+                        split_dense_params(params), table_small, emb3_big,
+                        ids_fm[:fs], dense, labels, params, cfg,
+                        interaction_fn))
+            else:
+                # every field is small: no gather, no sparse path
+                (loss, logits), (dgrads, dtab_small) = jax.value_and_grad(
+                    _loss_fm_hybrid, argnums=(0, 1), has_aux=True)(
+                    split_dense_params(params), table_small, None,
+                    ids_fm, dense, labels, params, cfg, interaction_fn)
+                demb = None
+        else:
+            emb3 = model_lib.embedding_lookup_fm(params, ids_fm, mcfg)
+            emb3 = emb3.astype(jnp.dtype(mcfg.compute_dtype))
+            (loss, logits), (dgrads, demb) = jax.value_and_grad(
+                _loss_from_rows_fm, argnums=(0, 1), has_aux=True)(
+                split_dense_params(params), emb3, dense, labels, params, cfg,
+                interaction_fn,
+            )
         dlin = None
         separate_linear = False
     else:
@@ -144,8 +188,6 @@ def train_step(
     new_params = merge_dense_params(params, new_dense)
 
     # Sparse per-row updates on the touched rows.
-    flat_ids = ids_fm.reshape(-1) if fm else ids.reshape(-1)
-    max_u = unique_bound(mcfg.vocab_sizes, ids.shape[0])
     new_sparse = dict(state.sparse_opt_state)
     # mask_sentinels=False: the single-host data layer hashes ids
     # in-range, so the sentinel-zeroing pass over the 1.6 GB grad block
@@ -153,12 +195,50 @@ def train_step(
     offs = tuple(int(o) for o in model_lib.field_offsets(mcfg))
     sk_emb, sk_lin = sr_keys(mcfg.table_dtype, cfg.optim, state.step,
                              cfg.data.seed)
-    new_table, new_sparse["embed"] = rowwise_update(
-        new_params["embed"]["table"], state.sparse_opt_state["embed"],
-        flat_ids, demb.reshape(-1, mcfg.table_width), cfg.optim,
-        max_unique=max_u, field_offsets=offs, mask_sentinels=False,
-        lr_scale=lrf, sr_key=sk_emb, field_major=fm,
-    )
+    if fs:
+        # big fields only through the sort/dedup/scatter pipeline
+        if demb is not None:
+            max_u = unique_bound(mcfg.vocab_sizes[fs:], ids.shape[0])
+            new_table, new_sparse["embed"] = rowwise_update(
+                new_params["embed"]["table"],
+                state.sparse_opt_state["embed"],
+                ids_fm[fs:].reshape(-1),
+                demb.reshape(-1, mcfg.table_width), cfg.optim,
+                max_unique=max_u, field_offsets=offs[fs:],
+                mask_sentinels=False, lr_scale=lrf, sr_key=sk_emb,
+                field_major=True,
+            )
+        else:
+            new_table = new_params["embed"]["table"]
+            new_sparse["embed"] = dict(state.sparse_opt_state["embed"])
+        # small block: dense per-row update on the table prefix (its
+        # rows [0, small_rows) are disjoint from every big-field id)
+        srows = mcfg.small_rows
+        from cffm_tpu.optim.rowwise import dense_rowwise_apply
+
+        small_state = {
+            k: (v[:srows] if getattr(v, "ndim", 0) >= 1
+                and v.shape[0] == new_table.shape[0] else v)
+            for k, v in new_sparse["embed"].items()}
+        sk_small = None if sk_emb is None else jax.random.fold_in(sk_emb, 1)
+        new_small, new_small_state = dense_rowwise_apply(
+            new_table[:srows], small_state, dtab_small, cfg.optim,
+            lr_scale=lrf, sr_key=sk_small)
+        new_table = new_table.at[:srows].set(new_small)
+        for k, v in new_small_state.items():
+            full = new_sparse["embed"][k]
+            if (getattr(v, "ndim", 0) >= 1
+                    and full.shape[0] == new_table.shape[0]):
+                new_sparse["embed"][k] = full.at[:srows].set(v)
+    else:
+        flat_ids = ids_fm.reshape(-1) if fm else ids.reshape(-1)
+        max_u = unique_bound(mcfg.vocab_sizes, ids.shape[0])
+        new_table, new_sparse["embed"] = rowwise_update(
+            new_params["embed"]["table"], state.sparse_opt_state["embed"],
+            flat_ids, demb.reshape(-1, mcfg.table_width), cfg.optim,
+            max_unique=max_u, field_offsets=offs, mask_sentinels=False,
+            lr_scale=lrf, sr_key=sk_emb, field_major=fm,
+        )
     new_params = dict(new_params, embed={"table": new_table})
     if separate_linear:
         new_lin, new_sparse["linear"] = rowwise_update(

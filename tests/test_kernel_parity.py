@@ -211,6 +211,47 @@ def test_full_rows_fm_matches_batch_major():
     np.testing.assert_array_equal(np.asarray(gw_fm), np.asarray(gw_bm))
 
 
+def test_split_fm_kernel_matches_concat():
+    """cross_conv1_lin_fm2_pallas (split small/big operands) vs the
+    single-operand fm kernel on the concatenated array: forward
+    BIT-IDENTICAL (same in-kernel math, only the operand DMA split
+    differs) and grads equal after re-concatenation."""
+    from cffm_tpu.ops.interaction_conv import (cross_conv1_lin_fm2_pallas,
+                                               cross_conv1_lin_fm_pallas)
+
+    f, d, c1, b, fs = 15, 16, 16, 16, 4
+    cfg = ModelConfig(
+        num_fields=f, vocab_sizes=tuple([32] * f), embed_dim=d,
+        cross="field_aware", conv_channels=(c1,), conv_kernel=3,
+        compute_dtype="float32", use_first_order=True,
+    )
+    assert cfg.fused_linear
+    wp = cfg.table_width
+    rng = np.random.default_rng(13)
+    emb3 = jnp.asarray(rng.normal(size=(f, b, wp)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(c1, cfg.num_pairs, 3)), jnp.float32)
+
+    y_c, lin_c = cross_conv1_lin_fm_pallas(emb3, w1, cfg, 8, True)
+    y_s, lin_s = cross_conv1_lin_fm2_pallas(emb3[:fs], emb3[fs:], w1, cfg,
+                                            8, True)
+    np.testing.assert_array_equal(np.asarray(y_s), np.asarray(y_c))
+    np.testing.assert_array_equal(np.asarray(lin_s), np.asarray(lin_c))
+
+    def loss_c(e3, w):
+        y, lin = cross_conv1_lin_fm_pallas(e3, w, cfg, 8, True)
+        return jnp.sum(y ** 2) + 2.0 * jnp.sum(lin * lin)
+
+    def loss_s(es, eb, w):
+        y, lin = cross_conv1_lin_fm2_pallas(es, eb, w, cfg, 8, True)
+        return jnp.sum(y ** 2) + 2.0 * jnp.sum(lin * lin)
+
+    ge_c, gw_c = jax.grad(loss_c, (0, 1))(emb3, w1)
+    (gs, gb, gw_s) = jax.grad(loss_s, (0, 1, 2))(emb3[:fs], emb3[fs:], w1)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.concatenate([gs, gb], axis=0)), np.asarray(ge_c))
+    np.testing.assert_array_equal(np.asarray(gw_s), np.asarray(gw_c))
+
+
 def test_model_full_rows_path_matches_reference_forward():
     """forward_from_rows via interaction_fn.full_rows == reference
     (interaction_fn=None) on a qualifying fused-linear config."""
