@@ -63,10 +63,12 @@ class FlatRouter:
         self.batch_unique = None     # set per trace in build()
         self.no_ovf = False
 
-    def build(self, flat_ids):
+    def build(self, flat_ids, vocab_sizes=None):
+        # vocab_sizes: the per-field vocabs the ids actually cover —
+        # the hybrid small-field path routes only the big-field subset
+        vocabs = self.vocab_sizes if vocab_sizes is None else vocab_sizes
         n = flat_ids.shape[0]
-        self.batch_unique = unique_bound(self.vocab_sizes,
-                                         n // self.num_fields)
+        self.batch_unique = unique_bound(vocabs, n // len(vocabs))
         # capacity statically covers the bound -> overflow impossible ->
         # the lookups skip their full-width overflow masks
         self.no_ovf = self.capacity >= min(n, self.batch_unique)
@@ -116,11 +118,12 @@ class HierRouter:
         self.host_unique = None
         self.no_ovf = (False, False)
 
-    def build(self, flat_ids):
+    def build(self, flat_ids, vocab_sizes=None):
+        vocabs = self.vocab_sizes if vocab_sizes is None else vocab_sizes
         n = flat_ids.shape[0]
-        b_loc = n // self.num_fields
-        self.batch_unique = unique_bound(self.vocab_sizes, b_loc)
-        self.host_unique = unique_bound(self.vocab_sizes,
+        b_loc = n // len(vocabs)
+        self.batch_unique = unique_bound(vocabs, b_loc)
+        self.host_unique = unique_bound(vocabs,
                                         b_loc * self.chips_per_host)
         self.no_ovf = (
             self.cap1 >= min(n, self.batch_unique),
@@ -231,7 +234,24 @@ def _local_step(params, dense_opt_state, sparse_opt_state, step_no,
     # rows (and returned grads) into the layout the fm kernel consumes
     # with zero retiling copies (see models.cffm.wants_field_major).
     fm = model_lib.wants_field_major(params, mcfg, interaction_fn)
-    flat_ids = ids.T.reshape(-1) if fm else ids.reshape(-1)
+    # Hybrid small-field path (sharded twin of train.py's): the <=1 MB
+    # small-field table prefix is REASSEMBLED on every shard each step
+    # (one tiny all_gather over the mesh), looked up by one-hot MXU
+    # matmuls, and its psum'd dense gradient applied shard-locally to
+    # the shard's own rows — small-field ids never enter the routing,
+    # cutting the exchange payload and dedup stream by their share.
+    fs = (mcfg.small_field_prefix
+          if fm and cfg.optim.sparse_optimizer in ("adagrad", "sgd") else 0)
+    t_all = router.num_shards
+    if fs:
+        ids_fm = ids.T
+        flat_ids = ids_fm[fs:].reshape(-1)
+        route_vocabs = mcfg.vocab_sizes[fs:]
+        srows = mcfg.small_rows
+        ls = -(-srows // t_all)  # uniform padded local small-rows slice
+    else:
+        flat_ids = ids.T.reshape(-1) if fm else ids.reshape(-1)
+        route_vocabs = None
 
     from cffm_tpu.utils.debugging import collective_probe
 
@@ -241,17 +261,27 @@ def _local_step(params, dense_opt_state, sparse_opt_state, step_no,
         collective_probe(tag, router.shard_index(), cfg.debug_barriers)
 
     dbg("routing-a2a:enter")
-    routing = router.build(flat_ids)
+    routing = router.build(flat_ids, vocab_sizes=route_vocabs)
     dbg("lookup-a2a:enter")
     rows = router.lookup(table_local, routing, cdt)
     dbg("lookup-a2a:exit")
-    emb_rows = rows.reshape(f, b_loc, w) if fm else rows.reshape(b_loc, f, w)
     separate_linear = mcfg.use_first_order and not mcfg.fused_linear
-    if separate_linear:
-        lin_rows = router.lookup(params["linear"]["table"], routing,
-                                 jnp.float32).reshape(b_loc, f, 1)
+    lin_rows = None
+    if fs:
+        emb_big = rows.reshape(f - fs, b_loc, w)
+        # reassemble the natural-order small block from the mod-sharded
+        # storage: shard s's local row l holds global id l*T + s
+        gathered = jax.lax.all_gather(table_local[:ls], router.axes,
+                                      axis=0, tiled=True)  # (T*ls, W)
+        gidx = ((jnp.arange(srows, dtype=jnp.int32) % t_all) * ls
+                + jnp.arange(srows, dtype=jnp.int32) // t_all)
+        table_small = jnp.take(gathered, gidx, axis=0)     # (srows, W)
     else:
-        lin_rows = None
+        emb_rows = (rows.reshape(f, b_loc, w) if fm
+                    else rows.reshape(b_loc, f, w))
+        if separate_linear:
+            lin_rows = router.lookup(params["linear"]["table"], routing,
+                                     jnp.float32).reshape(b_loc, f, 1)
 
     def loss_fn(dense_params, emb_rows, lin_rows):
         full = merge_dense_params(params, dense_params)
@@ -267,15 +297,35 @@ def _local_step(params, dense_opt_state, sparse_opt_state, step_no,
         global_b = b_loc * router.num_shards
         return local_sum / global_b, logits
 
-    argnums = (0, 1, 2) if separate_linear else (0, 1)
-    grad_fn = jax.value_and_grad(loss_fn, argnums=argnums, has_aux=True)
-    if separate_linear:
-        (loss, logits), (dgrads, demb, dlin) = grad_fn(
-            split_dense_params(params), emb_rows, lin_rows)
-    else:
-        (loss, logits), (dgrads, demb) = grad_fn(
-            split_dense_params(params), emb_rows, None)
+    def loss_fn_hybrid(dense_params, table_small, emb_big):
+        full = merge_dense_params(params, dense_params)
+        emb3_small = model_lib.onehot_lookup_fm(table_small, ids_fm[:fs],
+                                                mcfg, out_dtype=cdt)
+        logits = model_lib.forward_from_rows_fm2(
+            full, emb3_small, emb_big, dense, mcfg,
+            interaction_fn=interaction_fn)
+        local_sum = jnp.sum(metrics.sigmoid_bce_with_logits(logits, labels))
+        return local_sum / (b_loc * router.num_shards), logits
+
+    dtab_small = None
+    if fs:
+        (loss, logits), (dgrads, dtab_small, demb) = jax.value_and_grad(
+            loss_fn_hybrid, argnums=(0, 1, 2), has_aux=True)(
+            split_dense_params(params), table_small, emb_big)
         dlin = None
+        # every shard sees the global small-block gradient
+        dtab_small = jax.lax.psum(dtab_small.astype(jnp.float32),
+                                  router.axes)
+    else:
+        argnums = (0, 1, 2) if separate_linear else (0, 1)
+        grad_fn = jax.value_and_grad(loss_fn, argnums=argnums, has_aux=True)
+        if separate_linear:
+            (loss, logits), (dgrads, demb, dlin) = grad_fn(
+                split_dense_params(params), emb_rows, lin_rows)
+        else:
+            (loss, logits), (dgrads, demb) = grad_fn(
+                split_dense_params(params), emb_rows, None)
+            dlin = None
     dbg("loss-psum:enter")
     loss = jax.lax.psum(loss, axes)
 
@@ -308,6 +358,34 @@ def _local_step(params, dense_opt_state, sparse_opt_state, step_no,
     new_table, new_sparse["embed"] = bucketed_rowwise_update(
         table_local, sparse_opt_state["embed"], row_ids, row_grads, cfg.optim,
         lr_scale=lrf, sr_key=sk_emb)
+    if fs:
+        # small block: each shard applies the psum'd dense gradient to
+        # its OWN rows of the prefix (local row l holds global id
+        # l*T + shard; rows past srows on the padded slice get a
+        # masked zero grad -> exact no-op). Disjoint from every big id
+        # (those map to local rows >= the prefix slice or > srows).
+        from cffm_tpu.optim.rowwise import dense_rowwise_apply
+
+        lidx = (jnp.arange(ls, dtype=jnp.int32) * t_all
+                + router.shard_index())
+        g_small = jnp.where(
+            (lidx < srows)[:, None],
+            jnp.take(dtab_small, jnp.minimum(lidx, srows - 1), axis=0),
+            0.0)
+        small_state = {
+            k2: (v2[:ls] if getattr(v2, "ndim", 0) >= 1
+                 and v2.shape[0] == new_table.shape[0] else v2)
+            for k2, v2 in new_sparse["embed"].items()}
+        sk_small = None if sk_emb is None else jax.random.fold_in(sk_emb, 1)
+        new_small, new_small_state = dense_rowwise_apply(
+            new_table[:ls], small_state, g_small, cfg.optim,
+            lr_scale=lrf, sr_key=sk_small)
+        new_table = new_table.at[:ls].set(new_small)
+        for k2, v2 in new_small_state.items():
+            fullv = new_sparse["embed"][k2]
+            if (getattr(v2, "ndim", 0) >= 1
+                    and fullv.shape[0] == new_table.shape[0]):
+                new_sparse["embed"][k2] = fullv.at[:ls].set(v2)
     new_params = dict(new_params, embed={"table": new_table})
     if separate_linear:
         lrow_ids, lrow_grads = router.grad(

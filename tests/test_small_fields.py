@@ -128,6 +128,78 @@ def test_all_small_fields_step():
     assert losses[-1] < losses[0]
 
 
+def _shard_cfg(threshold, sparse="adagrad"):
+    import dataclasses as _dc
+
+    from cffm_tpu.config import ShardingConfig
+
+    cfg = _cfg(threshold, MIXED, batch=512, sparse=sparse)
+    return _dc.replace(
+        cfg, sharding=ShardingConfig(table_sharded=True))
+
+
+def test_sharded_hybrid_matches_sharded_gather(eight_devices):
+    """The SHARDED twin (parallel/sharded_train._local_step): small
+    block reassembled per shard via all_gather, one-hot lookup, psum'd
+    dense grad applied shard-locally — must match the pure-routed
+    sharded step (f32 allclose; sum association differs)."""
+    from cffm_tpu.ops.interaction_conv import make_interaction_fn
+    from cffm_tpu.parallel.mesh import make_mesh
+    from cffm_tpu.parallel.sharded_train import (create_sharded_state,
+                                                 make_sharded_train_step)
+
+    fn = make_interaction_fn(use_pallas=True, interpret=True)
+    cfg_h, cfg_g = _shard_cfg(512), _shard_cfg(0)
+    mesh = make_mesh(8)
+    s_h = create_sharded_state(cfg_h, jax.random.key(4), mesh)
+    s_g = jax.tree.map(jnp.copy, s_h)
+    step_h = make_sharded_train_step(cfg_h, mesh, fn)
+    step_g = make_sharded_train_step(cfg_g, mesh, fn)
+    for seed in range(3):
+        ids, labels = _batch(cfg_h, seed=seed)
+        s_h, m_h = step_h(s_h, ids, None, labels)
+        s_g, m_g = step_g(s_g, ids, None, labels)
+        assert int(m_h["overflow"]) == 0
+        np.testing.assert_allclose(float(m_h["loss"]), float(m_g["loss"]),
+                                   rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(s_h.params["embed"]["table"]),
+        np.asarray(s_g.params["embed"]["table"]), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(s_h.sparse_opt_state["embed"]["accum"]),
+        np.asarray(s_g.sparse_opt_state["embed"]["accum"]),
+        rtol=1e-5, atol=1e-6)
+
+
+def test_hier_hybrid_step_runs(eight_devices):
+    """Hybrid + hierarchical exchange on the 2x4 mesh: the all_gather
+    rides both axes; step must stay finite and learn."""
+    import dataclasses as _dc
+
+    from jax.sharding import PartitionSpec as P
+
+    from cffm_tpu.ops.interaction_conv import make_interaction_fn
+    from cffm_tpu.parallel.dcn_mesh import make_mesh_2d
+    from cffm_tpu.parallel.sharded_train import (
+        create_sharded_state, make_sharded_train_step_hier)
+
+    fn = make_interaction_fn(use_pallas=True, interpret=True)
+    cfg = _dc.replace(
+        _shard_cfg(512),
+        sharding=_dc.replace(_shard_cfg(512).sharding, table_axis="hier"))
+    mesh2d = make_mesh_2d(2, 4)
+    state = create_sharded_state(cfg, jax.random.key(5), mesh2d,
+                                 table_pspec=P(("host", "chip"), None))
+    step = make_sharded_train_step_hier(cfg, mesh2d, fn)
+    losses = []
+    for seed in range(5):
+        ids, labels = _batch(cfg, seed=seed % 2)
+        state, m = step(state, ids, None, labels)
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
 def test_adam_falls_back_to_gather():
     """Dense-form updates exist for adagrad/sgd only; adam configs must
     keep the pure-gather path (and still run)."""
