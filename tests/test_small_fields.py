@@ -200,6 +200,23 @@ def test_hier_hybrid_step_runs(eight_devices):
     assert losses[-1] < losses[0]
 
 
+def test_forward_scoring_hybrid_bit_equals_gather():
+    """The inference/eval twin (models.forward): hybrid routing must
+    produce BIT-identical logits to the pure-gather forward (one-hot
+    contraction exactness + the proven fm==bm kernel bit-equality)."""
+    from cffm_tpu.ops.interaction_conv import make_interaction_fn
+
+    cfg_h = _cfg(512, MIXED).model
+    cfg_g = _cfg(0, MIXED).model
+    assert cfg_h.small_field_prefix > 0 and cfg_g.small_field_prefix == 0
+    fn = make_interaction_fn(use_pallas=True, interpret=True)
+    params = model_lib.init_params(jax.random.key(3), cfg_h)
+    ids, _ = _batch(_cfg(512, MIXED, batch=64))
+    got = model_lib.forward(params, ids, None, cfg_h, interaction_fn=fn)
+    want = model_lib.forward(params, ids, None, cfg_g, interaction_fn=fn)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_adam_falls_back_to_gather():
     """Dense-form updates exist for adagrad/sgd only; adam configs must
     keep the pure-gather path (and still run)."""
